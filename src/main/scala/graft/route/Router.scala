@@ -1,0 +1,57 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A single routing rule: rows matching `predicate` are fanned out to `sink`.
+  * The reference's analog is the YAML `targets:` edge list compiled at config
+  * time (reference cmd/run.go:171-187, config/config.go:22); here the rules
+  * compile to Catalyst `Column` expressions, so predicate pushdown / constant
+  * folding apply for free (SURVEY.md §4.1). */
+final case class RouteRule(sink: String, predicate: Column)
+
+/** Deterministic predicate router + fan-out.
+  *
+  * Single-pass design: ONE projection builds an array of matching sink names
+  * per row, then `explode` multiplies rows (reference fan-out loop,
+  * broker/worker.go:76-82). This scans the fact table exactly once no matter
+  * how many sinks exist — the naive per-sink `filter` alternative is k scans.
+  * `explode` is a built-in Generator, so the whole route stage stays inside
+  * whole-stage codegen with zero shuffles.
+  */
+object Router {
+
+  val DeadLetter = "dead_letter"
+
+  /** Default topology, mirroring the reference test topologies
+    * (cmd/run_test.go 1x1/2x1/1x2/2x2 + dummy.yaml fallback chain):
+    *  - sink_a:      tool=bash AND role=assistant
+    *  - sink_b:      role=tool
+    *  - sink_err:    parsed level IN (ERROR, WARN) (overlaps sink_b ⇒ fan-out dup, the 1×2 case)
+    *  - sink_search: tool=search          (rate-limited → fallback, see limit.RateLimit)
+    * Unmatched / quarantined → dead_letter.
+    * Mirrored EXACTLY by [[graft.Oracles.routedCte]]. */
+  def defaultRules: Seq[RouteRule] = Seq(
+    RouteRule("sink_a", col("tool") === "bash" && col("role") === "assistant"),
+    RouteRule("sink_b", col("role") === "tool"),
+    RouteRule("sink_err", col("level").isin("ERROR", "WARN")),
+    RouteRule("sink_search", col("tool") === "search")
+  )
+
+  /** Adds a `targets: array<string>` column. Quarantined rows (null `level`)
+    * and rows matching no rule both get [dead_letter]. */
+  def withTargets(parsed: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame = {
+    val ok = col("level").isNotNull
+    val hits = array(rules.map(r => when(ok && r.predicate, lit(r.sink))): _*)
+    val matched = filter(hits, _.isNotNull)
+    parsed.withColumn(
+      "targets",
+      when(size(matched) > 0, matched).otherwise(array(lit(DeadLetter))))
+  }
+
+  /** Fan-out: one output row per (turn, sink). */
+  def fanOut(parsed: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame =
+    withTargets(parsed, rules)
+      .withColumn("sink", explode(col("targets")))
+      .drop("targets")
+}
