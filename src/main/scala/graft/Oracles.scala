@@ -78,4 +78,44 @@ object Oracles {
   /** Wraps a SELECT body with the standard CTE prelude. */
   def withPipeline(body: String): String =
     s"WITH turns AS ($turnsCte), routed AS ($routedCte), tool_dim AS ($toolDimCte) $body"
+
+  /** Rate-limit chain (limit.RateLimit.defaultRules):
+    * pass 1: sink_search avg(bytes/bucket over trailing 3 buckets) > 150 → reroute to sink_fallback;
+    * pass 2: sink_fallback avg > 120 → discard.
+    * r2 = surviving rows, d2 = discarded rows. */
+  val limitCtes: String = """
+    bb1 AS (
+      SELECT date_trunc('hour', ts) AS bucket, sum(strlen(text)) AS bucket_bytes
+      FROM routed WHERE sink = 'sink_search' GROUP BY 1),
+    v1 AS (
+      SELECT bucket FROM (
+        SELECT bucket, avg(bucket_bytes) OVER
+          (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+        FROM bb1) WHERE a > 150.0),
+    r1 AS (
+      SELECT r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts,
+        CASE WHEN r.sink = 'sink_search' AND v1.bucket IS NOT NULL
+             THEN 'sink_fallback' ELSE r.sink END AS sink
+      FROM routed r LEFT JOIN v1
+        ON r.sink = 'sink_search' AND date_trunc('hour', r.ts) = v1.bucket),
+    bb2 AS (
+      SELECT date_trunc('hour', ts) AS bucket, sum(strlen(text)) AS bucket_bytes
+      FROM r1 WHERE sink = 'sink_fallback' GROUP BY 1),
+    v2 AS (
+      SELECT bucket FROM (
+        SELECT bucket, avg(bucket_bytes) OVER
+          (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+        FROM bb2) WHERE a > 120.0),
+    r2 AS (
+      SELECT r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts, r.sink
+      FROM r1 r LEFT JOIN v2
+        ON r.sink = 'sink_fallback' AND date_trunc('hour', r.ts) = v2.bucket
+      WHERE v2.bucket IS NULL),
+    d2 AS (
+      SELECT r.conv_id, r.turn_idx, r.sink
+      FROM r1 r JOIN v2
+        ON r.sink = 'sink_fallback' AND date_trunc('hour', r.ts) = v2.bucket)"""
+
+  def withLimits(body: String): String =
+    s"WITH turns AS ($turnsCte), routed AS ($routedCte), $limitCtes $body"
 }

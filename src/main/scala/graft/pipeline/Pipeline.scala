@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Transcripts
+import graft.parse.GrokParser
+import graft.enrich.Enrichment
+import graft.route.{RouteRule, Router}
+import graft.limit.{LimitRule, RateLimit}
+import graft.manifest.Manifest
+import graft.agg.SinkMetrics
+
+/** End-to-end job: scan → parse → enrich → route → fan-out → rate-limit →
+  * per-sink writes + manifest commit + metrics.
+  *
+  * This is the Spark translation of the reference's `log-shipper run`
+  * lifecycle (reference cmd/run.go:49-97, SURVEY.md §3.1): the YAML routing
+  * config becomes [[RouteRule]]s compiled to Catalyst expressions; the
+  * broker/worker goroutine graph becomes ONE declarative Dataset chain that
+  * Catalyst plans; the Consul-KV dedup set becomes the write-then-commit
+  * manifest.
+  *
+  * Scale design:
+  *  - single scan of the fact table feeds every sink (array+explode router,
+  *    not per-sink scans);
+  *  - the only shuffles are the per-sink/per-conv aggregates and the
+  *    rate-limit verdict aggregation (all map-side-combined, output rows ≪
+  *    input rows); verdict joins back are broadcasts;
+  *  - the routed stream is salted-repartitioned before the per-sink writes so
+  *    one hot conversation cannot pin a single output task (reference analog:
+  *    one slow target blocking its channel, broker/connector.go:315-318 —
+  *    unhandled there, handled here per north_rule);
+  *  - AQE enabled in session conf handles residual skew at runtime.
+  */
+object Pipeline {
+
+  final case class Config(
+      routeRules: Seq[RouteRule] = Router.defaultRules,
+      limitRules: Seq[LimitRule] = RateLimit.defaultRules(),
+      saltBuckets: Int = 32
+  )
+
+  /** parse → enrich → route → limit; returns (routedFinal, dropped). */
+  def route(turns: DataFrame, spark: SparkSession, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val parsed = GrokParser.parse(turns)
+    val enriched = Enrichment.enrich(parsed, spark)
+    val fanned = Router.fanOut(enriched, cfg.routeRules)
+    RateLimit.apply(fanned, cfg.limitRules)
+  }
+
+  /** Full run with per-sink writes, manifest commits and resume.
+    * Returns the per-sink aggregate DataFrame (also persisted as metrics). */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      outRoot: String,
+      runId: String,
+      cfg: Config = Config(),
+      failAfterSinks: Int = Int.MaxValue // test hook: simulate a mid-job kill
+  ): DataFrame = {
+    val turns = Transcripts.fromEvents(spark, sfDir)
+    val (routedFinal, _) = route(turns, spark, cfg)
+
+    // Salt only the write repartition: key by (sink, conv hash salt) so sinks
+    // get dedicated tasks but a hot conv spreads over saltBuckets tasks.
+    val salted = routedFinal.repartition(
+      col("sink"), pmod(hash(col("conv_id"), col("turn_idx")), lit(cfg.saltBuckets)))
+
+    val manifest = new Manifest(outRoot)
+    val already = manifest.committedSinks()
+    val sinks = salted.select("sink").distinct().collect().map(_.getString(0)).sorted
+    val toDo = sinks.filterNot(already.contains)
+
+    // Cache the routed set once; every per-sink write filters the cached plan.
+    val cached = salted
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink").cache()
+    try {
+      var written = 0
+      toDo.foreach { sink =>
+        if (written < failAfterSinks) {
+          manifest.writeAndCommit(sink, cached.filter(col("sink") === sink), runId)
+          written += 1
+        }
+      }
+    } finally cached.unpersist()
+
+    val allCommitted = new Manifest(outRoot).committedSinks().toSeq.sorted
+    val routedOut = allCommitted
+      .map(s => spark.read.parquet(manifest.sinkPath(s)))
+      .reduce(_ unionByName _)
+    SinkMetrics.perSink(routedOut)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.Pipeline
+import graft.manifest.Manifest
+
+/** Idempotent-resume semantics: a killed run, rerun, must produce sink
+  * contents identical to a clean run with zero duplicates — the inversion of
+  * the reference's emit-then-mark race (reference source/nomad/worker.go:149-154,
+  * SURVEY.md §4.3). */
+class ManifestSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def readAllSinks(root: String): DataFrame = {
+    val m = new Manifest(root)
+    m.committedSinks().toSeq.sorted
+      .map(s => spark.read.parquet(m.sinkPath(s)))
+      .reduce(_ unionByName _)
+  }
+
+  private def canon(df: DataFrame): Array[String] =
+    df.select("conv_id", "turn_idx", "sink", "text")
+      .collect()
+      .map(r => s"${r.getString(0)}|${r.getInt(1)}|${r.getString(2)}|${r.getString(3)}")
+      .sorted
+
+  test("clean run commits every sink and the manifest lists them") {
+    val out = Files.createTempDirectory("graft-clean").toString
+    Pipeline.run(spark, sfDir, out, runId = "clean")
+    val m = new Manifest(out)
+    assert(m.committedSinks().nonEmpty)
+    assert(readAllSinks(out).count() > 0)
+  }
+
+  test("killed-after-2-sinks rerun equals a clean run, no duplicates") {
+    val cleanOut = Files.createTempDirectory("graft-a").toString
+    val resumeOut = Files.createTempDirectory("graft-b").toString
+
+    Pipeline.run(spark, sfDir, cleanOut, runId = "r0")
+    // simulated kill: only 2 sinks commit
+    Pipeline.run(spark, sfDir, resumeOut, runId = "r1", failAfterSinks = 2)
+    val partial = new Manifest(resumeOut).committedSinks()
+    assert(partial.size === 2, s"expected partial commit, got $partial")
+    // resume: full rerun against the same outRoot
+    Pipeline.run(spark, sfDir, resumeOut, runId = "r2")
+
+    val clean = canon(readAllSinks(cleanOut))
+    val resumed = canon(readAllSinks(resumeOut))
+    assert(resumed.length === clean.length, "row counts differ after resume")
+    assert(resumed.sameElements(clean), "sink contents differ after resume")
+    // no duplicates: (conv_id, turn_idx, sink) unique
+    assert(resumed.distinct.length === resumed.length)
+  }
+
+  test("anti-join resume drops exactly the committed keys") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-anti").toString
+    Pipeline.run(spark, sfDir, out, runId = "r3", failAfterSinks = 2)
+    val m = new Manifest(out)
+    val turns = graft.model.Transcripts.fromEvents(spark, sfDir)
+    val (routedAll, _) = Pipeline.route(turns, spark)
+    val remaining = m.antiJoinResume(spark,
+      routedAll.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink"))
+    val committedCount = m.committedSinks().toSeq
+      .map(s => spark.read.parquet(m.sinkPath(s)).count()).sum
+    assert(remaining.count() === routedAll.count() - committedCount)
+    assert(remaining.filter(col("sink").isin(m.committedSinks().toSeq: _*)).count() === 0)
+  }
+}
