@@ -9,6 +9,10 @@ import graft.enrich.Enrichment
 import graft.route.Router
 import graft.agg.SinkMetrics
 import graft.limit.RateLimit
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,7 +98,73 @@ object SparkEntry {
       turns(s, dir).unionByName(docs)
         .groupBy(split(col("conv_id"), "-").getItem(0).as("source_kind"))
         .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("bytes"))
-    })
+    }),
+
+    // ---- training-data curation operators (documents/embeddings tables) ----
+    // exact dedup: hash-groupBy on normalized-content fingerprint
+    "q_dedup_exact" -> ((s, dir) =>
+      ExactDedup.groups(s.read.parquet(s"$dir/documents.parquet"))),
+    // MinHash+LSH near-dup candidate pairs, Jaccard-verified (rows-only check)
+    "q_minhash_pairs" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(s.read.parquet(s"$dir/documents.parquet"),
+        MinHashLSH.Params(shingleWords = 3, numHashes = 32, bands = 16,
+          verifyJaccard = Some(0.5)))
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000).cast("long").as("jaccard_milli"))),
+    // SimHash per-doc signature via the custom codegen expression (rows-only)
+    "q_simhash" -> ((s, dir) =>
+      SimHashDedup.withSimhash(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("id").as("doc_id"), col("simhash"))),
+    // exact n-gram Jaccard pairs with length-band blocking (rows-only)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      NgramJaccard.pairs(s.read.parquet(s"$dir/documents.parquet"),
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000).cast("long").as("jaccard_milli"))),
+    // brute-force cosine top-k ANN baseline (rows-only; floats)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 16), emb, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"))
+    }),
+    // LSH-bucketed ANN — the scale path (rows-only)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"))
+    }),
+    // embedding-cosine near-dup pairs (rows-only)
+    "q_cos_neardup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"))),
+    // token counting: whitespace + BPE-ish regex
+    "q_token_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))),
+    // quality scoring: length/punct/stopword features
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_cnt"),
+          col("stopword_kinds"), col("avg_token_len"), col("quality_score"))),
+    // language-ID heuristic (marker-word argmax)
+    "q_langid" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+    // document fingerprint: rolling hash over the token stream (rows-only)
+    "q_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // multimodal plumbing: binary decode stub + typed features (rows-only)
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 300)).toDF()
+        .select(col("asset_id"), col("kind"), col("ok"), col("checksum"))),
+    // video frame sampling over binary assets (rows-only)
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.syntheticAssets(s, 300), everyMs = 5000)
+        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,6 +214,51 @@ object SparkEntry {
                UNION ALL
                SELECT 'doc-' || lpad(cast(doc_id AS varchar), 5, '0') AS conv_id, text
                FROM documents)
-         GROUP BY 1""")
+         GROUP BY 1"""),
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+         cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS int) AS n_tokens,
+         cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS int) AS n_bpeish
+         FROM documents""",
+    "q_quality" ->
+      """WITH q AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt,
+             strlen(text) AS nc,
+             len(regexp_extract_all(text, '[.,;:!?]', 0)) AS pc,
+             len(list_intersect(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+                 ['the','a','of','and','to','in','is'])) AS sw
+           FROM documents)
+         SELECT doc_id, cast(nt AS int) AS n_tokens, cast(pc AS int) AS punct_cnt,
+           cast(sw AS int) AS stopword_kinds,
+           cast(floor(cast(nc AS double) / greatest(nt, 1) * 100) AS bigint) AS avg_token_len,
+           cast(floor(cast(least(nt, 200) AS double) / 200 * 500
+                    + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
+         FROM q""",
+    "q_langid" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','es'])) AS s_es,
+             len(list_intersect(toks, ['der','die','und','ist','das'])) AS s_de,
+             len(list_intersect(toks, ['le','la','et','est','les'])) AS s_fr,
+             len(list_intersect(toks, ['的','是','了','在','我'])) AS s_zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+         FROM s"""
   )
 }

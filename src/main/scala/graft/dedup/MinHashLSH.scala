@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (shingle → minhash → band → bucket-join).
+  *
+  * Standard construction (Broder '97; MMDS ch.3):
+  *  - word w-shingles over the normalized text
+  *  - numHashes minhash values h_i = min over shingles of xxhash64(i, shingle)
+  *  - signature split into `bands` bands of r = numHashes/bands rows; band key
+  *    = xxhash64 over the band's slice
+  *  - candidate pairs = docs sharing any (band_idx, band_key) bucket
+  *  - optional exact-Jaccard verification of candidates
+  *
+  * Scale design:
+  *  - the bucket join is an equi-join on (band_idx, band_key) — shuffle keys
+  *    are 16 bytes; the quadratic blow-up is confined to per-bucket groups.
+  *  - `maxBucketSize` drops degenerate buckets (boilerplate shingle sets) the
+  *    same way production dedup pipelines cap posting lists; dropped buckets
+  *    are counted, not silently ignored (observable via `oversizedBuckets`).
+  *  - signatures are computed in ONE projection (no per-hash scans of the doc)
+  *    and candidates carry only (id, signature), never the document text.
+  */
+object MinHashLSH {
+
+  final case class Params(
+      shingleWords: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 64,
+      verifyJaccard: Option[Double] = Some(0.7))
+
+  /** Word w-shingle array, normalized. */
+  def shingles(text: Column, w: Int): Column = {
+    val words = split(ExactDedup.normalized(text), " ")
+    when(size(words) < w, array(concat_ws(" ", words)))
+      .otherwise(
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+
+  /** numHashes-wide minhash signature (array<bigint>). */
+  def signature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shinglesCol, s => xxhash64(seed, s))))
+
+  /** (band_idx, band_key) rows, one per band per doc. */
+  def bandedKeys(docs: DataFrame, p: Params, textCol: String, idCol: String): DataFrame = {
+    val r = p.numHashes / p.bands
+    require(r * p.bands == p.numHashes, "bands must divide numHashes")
+    docs
+      .select(col(idCol).as("id"),
+        signature(shingles(col(textCol), p.shingleWords), p.numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
+          b => xxhash64(lit("band") +: (0 until r).map(i =>
+            element_at(col("sig"), b * r + i + 1)): _*))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Buckets whose size exceeded maxBucketSize (dropped from pairing). */
+  def oversizedBuckets(docs: DataFrame, p: Params = Params(),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bandedKeys(docs, p, textCol, idCol)
+      .groupBy("band_idx", "band_key").count()
+      .filter(col("count") > p.maxBucketSize)
+
+  /** Candidate near-duplicate pairs (id_a < id_b), optionally verified with
+    * exact Jaccard over the shingle sets. */
+  def nearDupPairs(docs: DataFrame, p: Params = Params(),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val banded = bandedKeys(docs, p, textCol, idCol)
+    val smallBuckets = banded
+      .groupBy("band_idx", "band_key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, p.maxBucketSize))
+    // in-bucket pairing via self-product of the collected id list: the bucket
+    // is already local post-shuffle, so this is a flatMap, not a join
+    val pairs = smallBuckets
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a), b => struct(a.as("id_a"), b.as("id_b")))
+      ))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    p.verifyJaccard match {
+      case None => pairs
+      case Some(threshold) =>
+        val sh = docs.select(col(idCol).as("id"),
+          array_distinct(shingles(col(textCol), p.shingleWords)).as("sh"))
+        pairs
+          .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+          .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+  }
+}

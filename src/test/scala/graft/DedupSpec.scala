@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup: whitespace/case-insensitive groups keep min id") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "different doc",
+      4L -> "  HELLO WORLD  ")
+    val g = ExactDedup.groups(d).collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(g.toSeq === Seq((1L, 3L), (3L, 1L)))
+    assert(ExactDedup.dedup(d).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word change
+  private val unrelated = "completely different content about spark shuffle partitions and catalyst optimizer rules"
+
+  test("minhash LSH finds near-identical pairs and skips unrelated docs") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val pairs = MinHashLSH.nearDupPairs(d,
+        MinHashLSH.Params(shingleWords = 2, numHashes = 32, bands = 16, verifyJaccard = Some(0.4)))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup must collide: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near dup must collide: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated must not pair: $pairs")
+  }
+
+  test("minhash LSH recall vs exact n-gram jaccard on a varied corpus") {
+    // 20 docs: 10 distinct bases + 10 near-copies
+    val bases = (0 until 10).map(i =>
+      s"document number $i talks about topic-$i with shared filler words common to all docs here")
+    val rows = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      bases.zipWithIndex.map { case (t, i) => (100L + i, t.replace("filler", "padding")) }
+    val d = rows.toDF("doc_id", "text")
+    val exact = NgramJaccard.pairs(d, n = 2, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.nearDupPairs(d,
+        MinHashLSH.Params(shingleWords = 2, numHashes = 32, bands = 16, verifyJaccard = Some(0.6)))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // LSH candidates are Jaccard-verified, so lsh ⊆ exact; recall must be high
+    assert(lsh.subsetOf(exact), s"verified LSH pairs must be a subset: ${lsh.diff(exact)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs hamming 0, near-dups small, unrelated large") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val sh = SimHashDedup.withSimhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 8, s"near dup hamming ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(3L)) > 8, s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
+    val pairs = SimHashDedup.nearDupPairs(d, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: handcrafted similarity values") {
+    // shingle sets (n=2, distinct): A={"a b","b c"}, B={"a b","b d"} → J = 1/3
+    val d = docs(1L -> "a b c", 2L -> "a b d")
+    val p = NgramJaccard.pairs(d, n = 2, threshold = 0.3).collect()
+    assert(p.length === 1)
+    assert(math.abs(p(0).getDouble(2) - 1.0 / 3.0) < 1e-9)
+    assert(NgramJaccard.pairs(d, n = 2, threshold = 0.5).count() === 0)
+  }
+}
