@@ -22,6 +22,11 @@ object Main {
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep AQE skew handling but NOT partition coalescing: the sandbox's
+      // tiny pre-amplification shuffles (~2 MB) coalesce to 1 partition and
+      // serialize the downstream 64x-amplified work — a small-data artifact
+      // that cannot occur at the real 10^12-row scale this job targets
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -29,7 +29,7 @@ object SparkEntry {
   private def parsedTurns(s: SparkSession, dir: String): DataFrame =
     GrokParser.parse(turns(s, dir))
   private def routed(s: SparkSession, dir: String): DataFrame =
-    Router.fanOut(parsedTurns(s, dir))
+    Router.fanOut(graft.pipeline.Pipeline.parsedSalted(turns(s, dir)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -107,7 +107,7 @@ object SparkEntry {
     // MinHash+LSH near-dup candidate pairs, Jaccard-verified (rows-only check)
     "q_minhash_pairs" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(s.read.parquet(s"$dir/documents.parquet"),
-        MinHashLSH.Params(shingleWords = 3, numHashes = 32, bands = 16,
+        MinHashLSH.Params(shingleWords = 3, numHashes = 32, bands = 8,
           verifyJaccard = Some(0.5)))
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000).cast("long").as("jaccard_milli"))),

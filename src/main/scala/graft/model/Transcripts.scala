@@ -69,6 +69,18 @@ object Transcripts {
     )
   }
 
+  /** Deterministic scale amplification for benchmarking: each replica is a
+    * distinct conversation universe (`conv_id#rep`), preserving per-conv turn
+    * structure, skew shape and routing mix while multiplying volume. */
+  def amplified(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    val t = fromEvents(spark, sfDir)
+    if (mult <= 1) t
+    else t
+      .crossJoin(spark.range(mult).select(col("id").as("_rep")))
+      .withColumn("conv_id", concat(col("conv_id"), lit("#"), col("_rep")))
+      .drop("_rep")
+  }
+
   /** In-memory seeded generator for unit tests — no testdata dependency.
     * Deterministic: LCG on (conv, turn); includes a hot conversation owning
     * ~hotShare of all rows (skew fixture, SURVEY.md §7 step 7). */

@@ -22,24 +22,18 @@ object GrokParser {
   /** `[LEVEL] tool=T dur=Nms status=S payload` */
   val Pattern = "^\\[(ERROR|WARN|INFO)\\] tool=([a-z]+) dur=([0-9]+)ms status=(ok|err) (.*)$"
 
-  /** Adds level/dur_ms/status/payload columns; non-matching rows → nulls. */
-  def parse(turns: DataFrame): DataFrame = {
-    // regexp_extract_all with an explicit group idx only returns that group,
-    // so capture all groups in one pass by wrapping the whole match: group 0
-    // can't enumerate groups — instead run the regex once into a struct via
-    // five regexp_extract calls on a pre-filtered RLIKE guard. The RLIKE guard
-    // short-circuits non-matching rows (cheap reject), and the five extracts
-    // over matching rows are codegen'd tight loops over the same compiled
-    // java.util.regex.Pattern instance (Catalyst caches the compiled pattern
-    // per-expression-instance).
-    val matches = col("text").rlike(Pattern)
-    def g(i: Int): Column = regexp_extract(col("text"), Pattern, i)
+  /** Adds level/dur_ms/status/payload columns; non-matching rows → nulls.
+    * ONE regex execution per row via the custom [[GrokExtract]] expression
+    * (built-in regexp_extract would cost one execution per field — 5× the
+    * regex work on the 10^12-row hot path; Catalyst does not CSE them). */
+  def parse(turns: DataFrame): DataFrame =
     turns
-      .withColumn("level", when(matches, g(1)))
-      .withColumn("dur_ms", when(matches, g(3).cast("int")))
-      .withColumn("status", when(matches, g(4)))
-      .withColumn("payload", when(matches, g(5)))
-  }
+      .withColumn("_g", GrokExtract.grok_extract(col("text"), Pattern))
+      .withColumn("level", col("_g.level"))
+      .withColumn("dur_ms", col("_g.dur_ms"))
+      .withColumn("status", col("_g.status"))
+      .withColumn("payload", col("_g.payload"))
+      .drop("_g")
 
   /** Well-formed rows only. */
   def parsed(turns: DataFrame): DataFrame = parse(turns).filter(col("level").isNotNull)

@@ -41,9 +41,28 @@ object Pipeline {
       saltBuckets: Int = 32
   )
 
-  /** parse → enrich → route → limit; returns (routedFinal, dropped). */
+  /** Parse, then salted-repartition on (conv_id, hash(turn_idx) % salt).
+    *
+    * The repartition serves three purposes at once:
+    *  1. skew: a hot conversation spreads over `saltBuckets` tasks
+    *     (north_rule "salted repartitioning"), AQE handles the rest;
+    *  2. expression barrier: downstream operators reference the parsed
+    *     fields as exchange-output ATTRIBUTES — without it, Catalyst's alias
+    *     inlining re-evaluates the grok regex at every reference (measured
+    *     44 copies in the optimized plan, and the route stage ran slower on
+    *     more cores);
+    *  3. reuse: the rate-limit verdict aggregates and the main routed stream
+    *     consume the SAME exchange (ReusedExchange), so the scan+parse runs
+    *     exactly once per job.
+    */
+  def parsedSalted(turns: DataFrame, saltBuckets: Int = 32): DataFrame =
+    GrokParser.parse(turns)
+      .repartition(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
+
+  /** parse → salt-repartition → enrich → route → limit;
+    * returns (routedFinal, dropped). */
   def route(turns: DataFrame, spark: SparkSession, cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val parsed = GrokParser.parse(turns)
+    val parsed = parsedSalted(turns, cfg.saltBuckets)
     val enriched = Enrichment.enrich(parsed, spark)
     val fanned = Router.fanOut(enriched, cfg.routeRules)
     RateLimit.apply(fanned, cfg.limitRules)
@@ -62,18 +81,15 @@ object Pipeline {
     val turns = Transcripts.fromEvents(spark, sfDir)
     val (routedFinal, _) = route(turns, spark, cfg)
 
-    // Salt only the write repartition: key by (sink, conv hash salt) so sinks
-    // get dedicated tasks but a hot conv spreads over saltBuckets tasks.
-    val salted = routedFinal.repartition(
-      col("sink"), pmod(hash(col("conv_id"), col("turn_idx")), lit(cfg.saltBuckets)))
-
     val manifest = new Manifest(outRoot)
     val already = manifest.committedSinks()
-    val sinks = salted.select("sink").distinct().collect().map(_.getString(0)).sorted
+    val sinks = routedFinal.select("sink").distinct().collect().map(_.getString(0)).sorted
     val toDo = sinks.filterNot(already.contains)
 
     // Cache the routed set once; every per-sink write filters the cached plan.
-    val cached = salted
+    // (The salted repartition already happened post-parse, so write tasks are
+    // evenly distributed even under hot-conversation skew.)
+    val cached = routedFinal
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink").cache()
     try {
       var written = 0

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.parse.GrokParser
+import graft.route.{RouteRule, Router}
+
+/** Structured Streaming analog of the batch pipeline (SURVEY.md §2.9).
+  *
+  * The reference is a continuous pipeline with processing-time limiter
+  * windows and no event-time machinery; the streaming translation upgrades
+  * that to event-time: `withWatermark` bounds state, tumbling `window(ts)`
+  * aggregates per sink replace the limiter's TTL'd bucket map
+  * (reference limiter/limiter.go:71-95), and the file-source's exactly-once
+  * offsets+checkpoint replace the Consul-KV dedup set
+  * (reference source/nomad/worker.go:114-127).
+  *
+  * Scale notes: parse/route are stateless projections (same single-pass
+  * operators as batch); the only stateful operator is the windowed agg whose
+  * state is bounded by watermark horizon × sink count — O(small), no
+  * per-conversation state is kept.
+  */
+object StreamingPipeline {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-stream source over a directory of turn parquet files — the
+    * streaming stand-in for the reference's TCP sources; new-file discovery
+    * replaces the allocation-pool diff (reference source/nomad/pool.go:24-63). */
+  def readTurns(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Stateless parse → route → fan-out (identical semantics to batch). */
+  def routedStream(turns: DataFrame, rules: Seq[RouteRule] = Router.defaultRules): DataFrame =
+    Router.fanOut(GrokParser.parse(turns), rules)
+
+  /** Per-sink tumbling-window byte totals with a watermark — the streaming
+    * form of the rate-limit bucket store (L1). */
+  def sinkWindowBytes(
+      routed: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    routed
+      .withWatermark("ts", watermark)
+      .groupBy(col("sink"), org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("turns"), sum(octet_length(col("text"))).as("bucket_bytes"))
+      .select(col("sink"), col("window.start").as("bucket"),
+        col("turns"), col("bucket_bytes"))
+
+  /** Ready-to-start writer for the windowed aggregate into a memory sink
+    * (tests) — production would target per-sink tables via foreachBatch. */
+  def memorySinkQuery(agg: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+}

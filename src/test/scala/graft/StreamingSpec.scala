@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Transcripts
+import graft.streaming.StreamingPipeline
+import graft.sources.TurnSources
+
+/** Streaming semantics: the event-time windowed aggregate over the routed
+  * stream must equal the batch aggregate over the same files (SURVEY.md §2.9). */
+class StreamingSpec extends SparkSpec {
+
+  test("streamed windowed sink bytes equal the batch computation") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Transcripts.synthetic(spark, nConvs = 30, turnsPerConv = 8)
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingPipeline.readTurns(spark, dir, maxFilesPerTrigger = 2)
+    val agg = StreamingPipeline.sinkWindowBytes(StreamingPipeline.routedStream(stream))
+    val q = StreamingPipeline.memorySinkQuery(agg, "stream_out").start()
+    q.awaitTermination() // AvailableNow terminates after draining
+    val streamed = spark.table("stream_out")
+      .groupBy("sink", "bucket") // Update mode may emit a window twice; keep last
+      .agg(max("turns").as("turns"), max("bucket_bytes").as("bucket_bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val batchTurns = spark.read.parquet(dir)
+    val batchRouted = graft.route.Router.fanOut(graft.parse.GrokParser.parse(batchTurns))
+    val batch = batchRouted
+      .groupBy(col("sink"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("turns"), sum(octet_length(col("text"))).as("bucket_bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed === batch)
+  }
+
+  test("typed sources: dummy/parquet round-trip and union merge") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val d = TurnSources.dummy(spark, 10, 4)
+    d.toDF().write.mode("overwrite").parquet(dir)
+    val p = TurnSources.parquet(spark, dir)
+    assert(p.count() === d.count())
+    val merged = TurnSources.union(d, p)
+    assert(merged.count() === d.count() * 2)
+    assert(merged.columns.toSeq === Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+  }
+}
