@@ -56,6 +56,34 @@ object SparkEntry {
     "q_sink_agg" -> ((s, dir) => SinkMetrics.perSink(routed(s, dir))),
     // A1: per-conv turn spans
     "q_conv_spans" -> ((s, dir) => SinkMetrics.convSpans(turns(s, dir))),
+    // A1: spans per (sink, conv) over routed output
+    "q_sink_conv_spans" -> ((s, dir) => SinkMetrics.perSinkConvSpans(routed(s, dir))),
+    // north_star: per-conv span via window over conv_id ordered by turn_idx
+    "q_conv_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      turns(s, dir)
+        .withColumn("running_turns", count(lit(1)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("prev_role", lag(col("role"), 1).over(w))
+        .select(col("conv_id"), col("turn_idx"), col("running_turns"), col("prev_role"))
+    }),
+    // P7: enrichment-driven redaction projection (redact=true tools masked)
+    "q_redact" -> ((s, dir) =>
+      Enrichment.enrich(parsedTurns(s, dir), s)
+        .select(col("conv_id"), col("turn_idx"),
+          when(col("redact"), concat(lit("<redacted:"),
+            octet_length(col("payload")).cast("string"), lit(">")))
+            .otherwise(col("payload")).as("payload_out"))),
+    // P7: map-flattening → JSON document (logz.io sink format analog)
+    "q_json_format" -> ((s, dir) =>
+      parsedTurns(s, dir)
+        .filter(col("level").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          concat(lit("{\"message\":\""), col("payload"),
+            lit("\",\"type\":\""), col("role"),
+            lit("\",\"level\":\""), col("level"),
+            lit("\",\"tool\":\""), col("tool"), lit("\"}")).as("doc"))),
     // R1 broadcast enrich: per-(team, cost_class) rollup
     "q_enrich_agg" -> ((s, dir) =>
       Enrichment.enrich(parsedTurns(s, dir), s)
@@ -188,6 +216,25 @@ object SparkEntry {
     "q_conv_spans" -> Oracles.withPipeline(
       """SELECT conv_id, min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
          count(*) AS n_turns FROM turns GROUP BY conv_id"""),
+    "q_sink_conv_spans" -> Oracles.withPipeline(
+      """SELECT sink, conv_id, min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+         count(*) AS n_turns FROM routed GROUP BY sink, conv_id"""),
+    "q_conv_window" -> Oracles.withPipeline(
+      """SELECT conv_id, turn_idx,
+         count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_turns,
+         lag(role, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         FROM turns"""),
+    "q_redact" -> Oracles.withPipeline(
+      """SELECT conv_id, turn_idx,
+         CASE WHEN redact THEN '<redacted:' || cast(strlen(payload) AS varchar) || '>'
+              ELSE payload END AS payload_out
+         FROM turns LEFT JOIN tool_dim USING (tool)"""),
+    "q_json_format" -> Oracles.withPipeline(
+      """SELECT conv_id, turn_idx,
+         '{"message":"' || payload || '","type":"' || role ||
+         '","level":"' || level || '","tool":"' || tool || '"}' AS doc
+         FROM turns WHERE level IS NOT NULL"""),
     "q_enrich_agg" -> Oracles.withPipeline(
       """SELECT team, cost_class, count(*) AS n,
          cast(sum(dur_ms) AS bigint) AS total_dur

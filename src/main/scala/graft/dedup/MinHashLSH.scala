@@ -31,19 +31,16 @@ object MinHashLSH {
       maxBucketSize: Int = 64,
       verifyJaccard: Option[Double] = Some(0.7))
 
-  /** Word w-shingle array, normalized. */
-  def shingles(text: Column, w: Int): Column = {
-    val words = split(ExactDedup.normalized(text), " ")
-    when(size(words) < w, array(concat_ws(" ", words)))
-      .otherwise(
-        transform(sequence(lit(0), size(words) - w),
-          i => concat_ws(" ", slice(words, i + 1, lit(w)))))
-  }
+  /** Word w-shingle array, normalized (custom codegen kernel — the
+    * higher-order-function formulation ran interpreted, see
+    * [[graft.functions.WordShingles]]). */
+  def shingles(text: Column, w: Int): Column =
+    graft.functions.WordShinglesFunctions.word_shingles(text, w)
 
-  /** numHashes-wide minhash signature (array<bigint>). */
+  /** numHashes-wide minhash signature (array<bigint>) — one compiled pass
+    * over the shingles ([[graft.functions.MinHashSignature]]). */
   def signature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shinglesCol, s => xxhash64(seed, s))))
+    graft.functions.MinHashFunctions.minhash_signature(shinglesCol, numHashes)
 
   /** (band_idx, band_key) rows, one per band per doc. */
   def bandedKeys(docs: DataFrame, p: Params, textCol: String, idCol: String): DataFrame = {

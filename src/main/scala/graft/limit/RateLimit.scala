@@ -61,41 +61,85 @@ object RateLimit {
       .withColumn("breached", col("avg_bytes") > rule.bytesPerBucket)
   }
 
-  /** Applies one limiter chain pass-by-pass: for each rule in order, rows in
-    * breached (sink, bucket) windows are rerouted to the fallback sink or
-    * dropped. Returns (surviving routed rows, dropped-row count DataFrame).
+  /** Applies the limiter chain. Because breach verdicts have whole-bucket
+    * granularity, every row in the same (sink, bucket) shares one fate — so
+    * the WHOLE chain is computed on the tiny (sink, bucket, bytes) aggregate
+    * and applied to the fact table with ONE broadcast join at the end.
+    *
+    * The naive alternative (re-aggregate + re-join the fact table once per
+    * rule) reads the routed exchange k+1 times; at bench scale those extra
+    * full-table reads dominated the job. Semantics are identical.
+    *
+    * Per rule, on the mapping table (orig_sink, bucket, cur_sink, bytes):
+    *  - current per-(cur_sink, bucket) volumes are re-summed (rerouted bytes
+    *    land in the fallback sink's buckets, exactly as a second pass over
+    *    the fact table would see them);
+    *  - sliding-average verdicts mark breached buckets of rule.sink;
+    *  - fallback: cur_sink rewritten; discard: cur_sink → null.
+    *
+    * Returns (surviving routed rows with final `sink`, dropped rows).
     */
   def apply(routed: DataFrame, rules: Seq[LimitRule]): (DataFrame, DataFrame) = {
-    val spark = routed.sparkSession
-    import spark.implicits._
-    var current = routed
-    var droppedParts = List.empty[DataFrame]
+    if (rules.isEmpty) return (routed, routed.limit(0))
+
+    val bucket = bucketCol(col("ts"))
+    var mapping = routed
+      .groupBy(col("sink").as("orig_sink"), bucket.as("bucket"))
+      .agg(sum(octet_length(col("text"))).as("bytes"))
+      .withColumn("cur_sink", col("orig_sink"))
+      // the sink a row was last routed to before a discard — dropped rows
+      // report the sink they were dropped FROM (e.g. the fallback sink)
+      .withColumn("last_sink", col("orig_sink"))
+
     rules.foreach { rule =>
-      val verdicts = breachVerdicts(current, rule)
-        .filter(col("breached"))
-        .select(col("sink").as("v_sink"), col("bucket").as("v_bucket"))
-      val joined = current.join(
-        broadcast(verdicts),
-        current("sink") === col("v_sink") &&
-          bucketCol(current("ts")) === col("v_bucket"),
+      val volumes = mapping
+        .groupBy(col("cur_sink"), col("bucket"))
+        .agg(sum(col("bytes")).as("bucket_bytes"))
+      val frame = Window
+        .partitionBy(col("cur_sink"))
+        .orderBy(col("bucket"))
+        .rowsBetween(-(rule.avgOverBuckets - 1), Window.currentRow)
+      val verdicts = volumes
+        .filter(col("cur_sink") === rule.sink)
+        .withColumn("avg_bytes", avg(col("bucket_bytes")).over(frame))
+        .filter(col("avg_bytes") > rule.bytesPerBucket)
+        .select(col("cur_sink").as("v_sink"), col("bucket").as("v_bucket"))
+      val joined = mapping.join(
+        verdicts,
+        mapping("cur_sink") === col("v_sink") && mapping("bucket") === col("v_bucket"),
         "left")
-      val breachedRow = col("v_sink").isNotNull
-      rule.action match {
+      val breached = col("v_sink").isNotNull
+      val next = rule.action match {
         case "fallback" =>
-          current = joined
-            .withColumn(
-              "sink",
-              when(breachedRow, lit(rule.fallbackSink.get)).otherwise(col("sink")))
-            .drop("v_sink", "v_bucket")
+          when(breached, lit(rule.fallbackSink.get)).otherwise(col("cur_sink"))
         case "discard" =>
-          droppedParts ::= joined.filter(breachedRow).drop("v_sink", "v_bucket")
-          current = joined.filter(!breachedRow).drop("v_sink", "v_bucket")
+          when(breached, lit(null).cast("string")).otherwise(col("cur_sink"))
       }
+      mapping = joined
+        .withColumn("cur_sink", next)
+        .withColumn("last_sink", coalesce(col("cur_sink"), col("last_sink")))
+        .drop("v_sink", "v_bucket")
     }
-    val dropped = droppedParts match {
-      case Nil => routed.limit(0)
-      case h :: t => t.foldLeft(h)(_ unionByName _)
-    }
-    (current, dropped)
+
+    val decisions = mapping
+      .select(col("orig_sink"), col("bucket").as("d_bucket"),
+        col("cur_sink").as("final_sink"), col("last_sink"))
+      // only (sink, bucket) cells whose fate changed need to reach the join
+      .filter(col("final_sink").isNull || col("final_sink") =!= col("orig_sink"))
+
+    val joined = routed.join(
+      broadcast(decisions),
+      routed("sink") === col("orig_sink") && bucket === col("d_bucket"),
+      "left")
+    val affected = col("orig_sink").isNotNull
+    val survived = joined
+      .filter(!affected || col("final_sink").isNotNull)
+      .withColumn("sink", coalesce(col("final_sink"), col("sink")))
+      .drop("orig_sink", "d_bucket", "final_sink", "last_sink")
+    val dropped = joined
+      .filter(affected && col("final_sink").isNull)
+      .withColumn("sink", col("last_sink"))
+      .drop("orig_sink", "d_bucket", "final_sink", "last_sink")
+    (survived, dropped)
   }
 }

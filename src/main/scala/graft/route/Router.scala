@@ -39,11 +39,18 @@ object Router {
   )
 
   /** Adds a `targets: array<string>` column. Quarantined rows (null `level`)
-    * and rows matching no rule both get [dead_letter]. */
+    * and rows matching no rule both get [dead_letter].
+    *
+    * Codegen note: built as a `concat` of per-rule conditional single-element
+    * arrays rather than `filter(array(...), isNotNull)` — higher-order
+    * functions evaluate their lambdas INTERPRETED (never codegen'd), which
+    * profiling showed dominating the fan-out stage; concat/when/array are all
+    * whole-stage-codegen'd. */
   def withTargets(parsed: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame = {
     val ok = col("level").isNotNull
-    val hits = array(rules.map(r => when(ok && r.predicate, lit(r.sink))): _*)
-    val matched = filter(hits, _.isNotNull)
+    val empty = array().cast("array<string>")
+    val matched = concat(
+      rules.map(r => when(ok && r.predicate, array(lit(r.sink))).otherwise(empty)): _*)
     parsed.withColumn(
       "targets",
       when(size(matched) > 0, matched).otherwise(array(lit(DeadLetter))))
