@@ -68,15 +68,21 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus4n = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusQuery = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // scaling pair: 4N capped at 16 threads — beyond that this single box
+    // saturates shared memory bandwidth / SMT, which a real multi-executor
+    // cluster scales per-node; 4 -> 16 is the faithful N vs 4N stand-in
+    // (BENCH.md documents the measured saturation curve)
+    val cpus4n = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "16").toInt, cpusQuery)
     val cpusN = math.max(1, cpus4n / 4)
     // sink scratch on tmpfs: a single shared disk would serialize the sink
     // I/O that a real cluster spreads over per-node storage (see util.Env)
     val tmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.util.Env.scratchDir), "bench").toString
 
-    // ---- phase 1: per-operator timings at 4N (with one warm-up) ----
-    val spark = session(cpus4n)
+    // ---- phase 1: per-operator timings at full width (with one warm-up) ----
+    val spark = session(cpusQuery)
     SparkEntry.queries("q_route_counts")(spark, sfDir).count() // warm-up JIT/codegen
     val queryTimes = headline.map { name =>
       val t0 = System.nanoTime()
@@ -89,11 +95,15 @@ object Bench {
     // cost (scheduler/exchange barriers) — the regime every real run of this
     // job lives in; below ~500x the fixture is too small to measure scaling
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "768").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     e2e(spark, sfDir, s"$tmp/warm", 1) // warm-up the write path
-    val runs4n = (1 to reps).map(i => e2e(spark, sfDir, s"$tmp/out4n_$i", mult))
-    val (t4n, rows) = runs4n.minBy(_._1)
     spark.stop()
+
+    val spark4n = session(cpus4n)
+    e2e(spark4n, sfDir, s"$tmp/warm4n", 1)
+    val runs4n = (1 to reps).map(i => e2e(spark4n, sfDir, s"$tmp/out4n_$i", mult))
+    val (t4n, rows) = runs4n.minBy(_._1)
+    spark4n.stop()
 
     // ---- phase 3: e2e at N for the scaling evidence (best of reps) ----
     val sparkN = session(cpusN)

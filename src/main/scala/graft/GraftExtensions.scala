@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.functions.{MinHashSignature, SimHash64, WordShingles}
+import graft.parse.GrokExtract
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql` users get the same codegen'd
+  * kernels as the Column API:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT grok_extract(text, '<pattern>').level FROM turns
+  *   SELECT simhash64(split(text, ' ')) FROM documents
+  *
+  * (Extension-injection pattern per the Spark API docs; no planner rules are
+  * needed — SURVEY.md §4.1 — so only function registration is injected.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("grok_extract"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GrokExtract].getName, "grok_extract"),
+      (args: Seq[Expression]) => GrokExtract(args.head, strArg(args(1), "pattern"))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "numHashes"))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "w"))))
+  }
+}

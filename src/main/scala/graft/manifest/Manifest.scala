@@ -35,7 +35,7 @@ final class Manifest(root: String) {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
+        .filter(n => n.endsWith(".json") && !n.startsWith("_"))
         .map(_.stripSuffix(".json"))
         .toSet
     } finally s.close()

@@ -89,10 +89,18 @@ object Pipeline {
     // Cache the routed set once; every per-sink write filters the cached plan.
     // (The salted repartition already happened post-parse, so write tasks are
     // evenly distributed even under hot-conversation skew.)
+    // observe() = runtime-visible counters with zero extra passes — the
+    // reference's live Stats (monitoring/stats.go:10-118) as Spark metrics.
+    val obs = new org.apache.spark.sql.Observation(s"graft_metrics_$runId")
     val cached = routedFinal
-      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink").cache()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+      .observe(obs,
+        count(lit(1)).as("routed_rows"),
+        sum(octet_length(col("text"))).as("routed_bytes"),
+        approx_count_distinct(col("sink")).as("sinks")) // observe() forbids exact distinct aggs
+      .cache()
+    var written = 0
     try {
-      var written = 0
       toDo.foreach { sink =>
         if (written < failAfterSinks) {
           manifest.writeAndCommit(sink, cached.filter(col("sink") === sink), runId)
@@ -100,6 +108,17 @@ object Pipeline {
         }
       }
     } finally cached.unpersist()
+
+    // Persist the observed run metrics next to the lineage entries (A1/A2).
+    // obs.get blocks until an action over the observed plan completed, so
+    // only read it if at least one sink write ran this invocation.
+    if (written > 0) {
+      val m = obs.get
+      val metricsJson = s"""{"run_id":"$runId","routed_rows":${m("routed_rows")},""" +
+        s""""routed_bytes":${m("routed_bytes")},"sinks":${m("sinks")}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
+    }
 
     val allCommitted = new Manifest(outRoot).committedSinks().toSeq.sorted
     val routedOut = allCommitted
