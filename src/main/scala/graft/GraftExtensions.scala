@@ -17,6 +17,18 @@ import graft.parse.GrokExtract
   * (Extension-injection pattern per the Spark API docs; no planner rules are
   * needed — SURVEY.md §4.1 — so only function registration is injected.)
   */
+object GraftExtensions {
+  /** Registers the same functions on an ALREADY-BUILT session (extensions
+    * normally bind at builder time; this covers notebook/test sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new GraftExtensions
+    val reg = spark.sessionState.functionRegistry
+    ext.functions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, name: String): Int = e match {
@@ -28,26 +40,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
   }
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("grok_extract"),
+  private[graft] val functions: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("grok_extract"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GrokExtract].getName, "grok_extract"),
-      (args: Seq[Expression]) => GrokExtract(args.head, strArg(args(1), "pattern"))))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      (args: Seq[Expression]) => GrokExtract(args.head, strArg(args(1), "pattern"))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSignature].getName, "minhash_signature"),
-      (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "numHashes"))))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "numHashes"))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "w"))))
-  }
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach(e.injectFunction)
 }

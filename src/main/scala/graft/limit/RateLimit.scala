@@ -62,74 +62,76 @@ object RateLimit {
   }
 
   /** Applies the limiter chain. Because breach verdicts have whole-bucket
-    * granularity, every row in the same (sink, bucket) shares one fate — so
-    * the WHOLE chain is computed on the tiny (sink, bucket, bytes) aggregate
-    * and applied to the fact table with ONE broadcast join at the end.
+    * granularity, every row in one (sink, bucket) shares one fate — so the
+    * chain is computed on the tiny (sink, bucket, bytes) aggregate and the
+    * fact table is touched exactly twice: one aggregate pass, one broadcast
+    * decision join at write time.
     *
-    * The naive alternative (re-aggregate + re-join the fact table once per
-    * rule) reads the routed exchange k+1 times; at bench scale those extra
-    * full-table reads dominated the job. Semantics are identical.
+    * The aggregate is collected and the rule chain runs driver-side (plain
+    * Scala): verdicts are control-plane metadata, bounded by
+    * #sinks x #buckets (hours) — a few 100k rows even at 10^12 turns — and
+    * keeping them out of the lazy plan stops Catalyst from re-planning the
+    * whole routed subtree once per rule (observed: 5 subtree copies / 10
+    * parquet scans in the optimized plan of the lazy formulation).
     *
-    * Per rule, on the mapping table (orig_sink, bucket, cur_sink, bytes):
-    *  - current per-(cur_sink, bucket) volumes are re-summed (rerouted bytes
-    *    land in the fallback sink's buckets, exactly as a second pass over
-    *    the fact table would see them);
-    *  - sliding-average verdicts mark breached buckets of rule.sink;
-    *  - fallback: cur_sink rewritten; discard: cur_sink → null.
+    * Per rule, exactly the reference's semantics (limiter.go L1+L4):
+    * per-bucket volumes of the rule's sink (including bytes rerouted INTO it
+    * by earlier rules), sliding mean over the trailing avgOverBuckets
+    * non-empty buckets, breach => fallback rewrite or discard.
     *
     * Returns (surviving routed rows with final `sink`, dropped rows).
     */
   def apply(routed: DataFrame, rules: Seq[LimitRule]): (DataFrame, DataFrame) = {
     if (rules.isEmpty) return (routed, routed.limit(0))
+    val spark = routed.sparkSession
 
-    val bucket = bucketCol(col("ts"))
-    var mapping = routed
-      .groupBy(col("sink").as("orig_sink"), bucket.as("bucket"))
+    // pass 1 (eager): (orig_sink, bucket, bytes)
+    final case class Cell(origSink: String, bucket: java.sql.Timestamp,
+        var curSink: String, var lastSink: String, bytes: Long)
+    val cells = routed
+      .groupBy(col("sink").as("orig_sink"), bucketCol(col("ts")).as("bucket"))
       .agg(sum(octet_length(col("text"))).as("bytes"))
-      .withColumn("cur_sink", col("orig_sink"))
-      // the sink a row was last routed to before a discard — dropped rows
-      // report the sink they were dropped FROM (e.g. the fallback sink)
-      .withColumn("last_sink", col("orig_sink"))
+      .collect()
+      .map(r => Cell(r.getString(0), r.getTimestamp(1), r.getString(0),
+        r.getString(0), r.getLong(2)))
 
+    // driver-side rule chain
     rules.foreach { rule =>
-      val volumes = mapping
-        .groupBy(col("cur_sink"), col("bucket"))
-        .agg(sum(col("bytes")).as("bucket_bytes"))
-      val frame = Window
-        .partitionBy(col("cur_sink"))
-        .orderBy(col("bucket"))
-        .rowsBetween(-(rule.avgOverBuckets - 1), Window.currentRow)
-      val verdicts = volumes
-        .filter(col("cur_sink") === rule.sink)
-        .withColumn("avg_bytes", avg(col("bucket_bytes")).over(frame))
-        .filter(col("avg_bytes") > rule.bytesPerBucket)
-        .select(col("cur_sink").as("v_sink"), col("bucket").as("v_bucket"))
-      val joined = mapping.join(
-        verdicts,
-        mapping("cur_sink") === col("v_sink") && mapping("bucket") === col("v_bucket"),
-        "left")
-      val breached = col("v_sink").isNotNull
-      val next = rule.action match {
-        case "fallback" =>
-          when(breached, lit(rule.fallbackSink.get)).otherwise(col("cur_sink"))
-        case "discard" =>
-          when(breached, lit(null).cast("string")).otherwise(col("cur_sink"))
+      val mine = cells.filter(c => c.curSink == rule.sink)
+      val byBucket = mine.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum)
+        .toSeq.sortBy(_._1.getTime)
+      val breached = scala.collection.mutable.Set[java.sql.Timestamp]()
+      val windowVals = scala.collection.mutable.Queue[Long]()
+      byBucket.foreach { case (bucket, bytes) =>
+        windowVals.enqueue(bytes)
+        if (windowVals.size > rule.avgOverBuckets) windowVals.dequeue()
+        val avg = windowVals.sum.toDouble / windowVals.size
+        if (avg > rule.bytesPerBucket) breached += bucket
       }
-      mapping = joined
-        .withColumn("cur_sink", next)
-        .withColumn("last_sink", coalesce(col("cur_sink"), col("last_sink")))
-        .drop("v_sink", "v_bucket")
+      cells.foreach { c =>
+        if (c.curSink == rule.sink && breached.contains(c.bucket)) {
+          rule.action match {
+            case "fallback" =>
+              c.curSink = rule.fallbackSink.get
+              c.lastSink = c.curSink
+            case "discard" =>
+              c.curSink = null
+          }
+        }
+      }
     }
 
-    val decisions = mapping
-      .select(col("orig_sink"), col("bucket").as("d_bucket"),
-        col("cur_sink").as("final_sink"), col("last_sink"))
-      // only (sink, bucket) cells whose fate changed need to reach the join
-      .filter(col("final_sink").isNull || col("final_sink") =!= col("orig_sink"))
+    val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
+    if (changed.isEmpty) return (routed, routed.limit(0))
+
+    import spark.implicits._
+    val decisions = spark.createDataset(changed.toSeq.map(c =>
+      (c.origSink, c.bucket, Option(c.curSink), c.lastSink)))
+      .toDF("orig_sink", "d_bucket", "final_sink", "last_sink")
 
     val joined = routed.join(
       broadcast(decisions),
-      routed("sink") === col("orig_sink") && bucket === col("d_bucket"),
+      routed("sink") === col("orig_sink") && bucketCol(col("ts")) === col("d_bucket"),
       "left")
     val affected = col("orig_sink").isNotNull
     val survived = joined

@@ -56,9 +56,16 @@ object Router {
       when(size(matched) > 0, matched).otherwise(array(lit(DeadLetter))))
   }
 
-  /** Fan-out: one output row per (turn, sink). */
+  /** Fan-out: one output row per (turn, sink).
+    *
+    * explode_outer, not explode: `targets` is never empty (the dead-letter
+    * default guarantees size >= 1) so both are semantically identical, but
+    * plain explode makes the optimizer infer a `size(targets) > 0` filter
+    * that gets pushed below the salt exchange with the whole targets
+    * expression (grok included) inlined into it — a per-row re-evaluation
+    * the outer variant avoids. */
   def fanOut(parsed: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame =
     withTargets(parsed, rules)
-      .withColumn("sink", explode(col("targets")))
+      .withColumn("sink", explode_outer(col("targets")))
       .drop("targets")
 }

@@ -8,13 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * own session because extensions bind at session build time. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // getOrCreate() reuses any existing session, so conf-time extensions can't
+  // be asserted inside the shared-suite JVM; use an isolated child session
+  // with runtime registration (the conf path is exercised by tools/Sql).
+  private lazy val spark: SparkSession = {
+    val s = TestSpark.spark.newSession()
+    GraftExtensions.register(s)
+    s
+  }
 
   test("grok_extract is callable from SQL and parses the standard pattern") {
     spark.sparkContext.setLogLevel("ERROR")

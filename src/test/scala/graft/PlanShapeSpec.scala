@@ -1,0 +1,81 @@
+package graft
+
+import graft.model.Transcripts
+import graft.pipeline.Pipeline
+import graft.enrich.Enrichment
+import graft.parse.GrokParser
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests — the properties that make this engine scale
+  * are facts about the OPTIMIZED PLAN, so they are asserted directly:
+  * single grok evaluation, broadcast enrich join, pushed parquet filters,
+  * whole-stage codegen coverage. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("all grok evaluations live in one Project (subexpression-elimination domain)") {
+    // Catalyst inlines the parse aliases into many expression copies, but as
+    // long as every copy sits in a SINGLE Project operator, runtime
+    // subexpression elimination evaluates the regex once per row. Copies
+    // spread across Filters/Generates would each re-execute it.
+    val (routed, _) = Pipeline.route(Transcripts.fromEvents(spark, sfDir), spark)
+    val out = routed.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    def hasGrok(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists(_.isInstanceOf[graft.parse.GrokExtract])
+    val ops = out.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(hasGrok) => p.getClass.getSimpleName
+    }
+    assert(ops.distinct.toSeq === Seq("Project"),
+      s"grok must only appear in Project operators, found $ops")
+    assert(ops.size <= 2, s"grok-bearing operators: $ops")
+  }
+
+  test("enrichment is a broadcast hash join, not a shuffle join") {
+    val enriched = Enrichment.enrich(
+      GrokParser.parse(Transcripts.fromEvents(spark, sfDir)), spark)
+    val physical = enriched.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
+    assert(!physical.contains("SortMergeJoin"))
+  }
+
+  test("column pruning + filter pushdown reach the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id")
+    val formatted = df.queryExecution.executedPlan.toString
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("event_type"),
+      s"filter not pushed: $scan")
+    assert(!scan.contains("props"), s"column pruning failed: $scan")
+  }
+
+  test("route+fanout stays inside whole-stage codegen (no interpreted HOFs)") {
+    // static (non-AQE) plan shows WholeStageCodegen wrapping without running
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val routed = graft.route.Router.fanOut(
+        GrokParser.parse(Transcripts.fromEvents(spark, sfDir)))
+      val physical = routed.queryExecution.executedPlan.treeString
+      // the targets construction must not use higher-order array functions
+      assert(!physical.contains("ArrayFilter") && !physical.contains("ArrayTransform"),
+        "router must avoid interpreted higher-order functions")
+      // codegen stages appear as *(n) markers in treeString
+      assert(physical.contains("*("), physical.take(1500))
+      // the grok project itself is inside a codegen stage: its Project line
+      // carries the *(n) codegen marker
+      val grokLine = physical.split("\n").find(_.contains("grok_extract")).get
+      assert(grokLine.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("*("),
+        s"grok project not codegen'd: $grokLine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("limit-chain plan reuses the salted exchange instead of rescanning") {
+    val (routed, _) = Pipeline.route(Transcripts.fromEvents(spark, sfDir), spark)
+    val physical = routed.queryExecution.optimizedPlan.toString
+    val scans = "parquet".r.findAllIn(physical).length
+    assert(scans <= 1, s"the returned routed plan must scan the fact table once " +
+      s"(verdicts are precomputed driver-side), found $scans:\n" + physical.take(3000))
+  }
+}
