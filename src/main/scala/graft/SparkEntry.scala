@@ -181,6 +181,15 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+    // PII/URL scrubbing projection over documents + parsed-turn payloads
+    "q_scrub" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), TextAnalysis.scrub(col("text")).as("scrubbed"))),
+    // token-count histogram (bucketed distribution, exact)
+    "q_token_hist" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))),
     // document fingerprint: rolling hash over the token stream (rows-only)
     "q_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
@@ -286,6 +295,19 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+         FROM documents""",
+    "q_token_hist" ->
+      """SELECT cast(floor(len(list_filter(string_split_regex(text, '\s+'),
+           t -> t <> '')) / 10) * 10 AS bigint) AS bucket,
+         count(*) AS n_docs
+         FROM documents GROUP BY 1""",
     "q_langid" ->
       """WITH t AS (
            SELECT doc_id,

@@ -43,7 +43,9 @@ final class Manifest(root: String) {
 
   def sinkPath(sink: String): String = s"$root/sinks/$sink"
 
-  /** Write one sink's routed rows, then commit its manifest entry.
+  /** Write one sink's routed rows (date-partitioned, so downstream readers
+    * get partition pruning on `dt` — the Iceberg-style layout), then commit
+    * its manifest entry.
     * Ordering: data → fsync'd temp manifest → atomic move. A crash anywhere
     * before the move leaves the sink uncommitted; resume rewrites it
     * (overwrite mode makes the rewrite idempotent). */
@@ -53,7 +55,9 @@ final class Manifest(root: String) {
     val stats = rows
       .agg(count(lit(1)).as("rows"), coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"))
       .collect()(0)
-    rows.write.mode("overwrite").parquet(sinkPath(sink))
+    rows
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(sinkPath(sink))
     val entry =
       s"""{"run_id":"$runId","sink":"$sink","row_count":${stats.getLong(0)},""" +
         s""""bytes":${stats.getLong(1)},"committed_ts":"${java.time.Instant.now()}"}"""
@@ -62,6 +66,12 @@ final class Manifest(root: String) {
     Files.move(tmp, manifestDir.resolve(s"$sink.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The lineage/metrics records as a queryable DataFrame (reference analog:
+    * the JSON monitoring API, web/api/targets.go:43-121 — here it's "plain
+    * SQL over the manifest table", SURVEY.md §2.7 A4). */
+  def entries(spark: SparkSession): DataFrame =
+    spark.read.json(manifestDir.toString)
 
   /** Row-level resume: drop input rows whose (conv_id, turn_idx, sink) is
     * already present in committed sink output — a left ANTI join, the exact

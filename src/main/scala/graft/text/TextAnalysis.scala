@@ -76,6 +76,22 @@ object TextAnalysis {
         ).cast("long"))
   }
 
+  // -- scrubbing ------------------------------------------------------------
+
+  /** PII/URL scrubbing for training-data curation: emails, URLs and long
+    * digit runs replaced with typed placeholder tokens. Pure regexp_replace
+    * (codegen'd); patterns kept RE2-compatible for the DuckDB oracle twin. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val LongDigitPattern = "[0-9]{7,}"
+
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUM>")
+
   // -- fingerprinting -------------------------------------------------------
 
   /** Polynomial rolling hash over the normalized token stream (deterministic
