@@ -96,7 +96,7 @@ object Bench {
     // amplification sized so parallel work dominates the ~9 s fixed per-job
     // cost (scheduler/exchange barriers) — the regime every real run of this
     // job lives in; below ~500x the fixture is too small to measure scaling
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "1024").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "768").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     e2e(spark, sfDir, s"$tmp/warm", 1) // warm-up the write path
     spark.stop()

@@ -85,6 +85,14 @@ object RateLimit {
     if (rules.isEmpty) return (routed, routed.limit(0))
     val spark = routed.sparkSession
 
+    // Deliberately NOT persisting the routed set between the verdict pass and
+    // the decision join: measured on this box, a DISK_ONLY staging cache
+    // halves the low-parallelism time (compute-bound regime) but does not
+    // help at high parallelism (block-manager I/O is bandwidth-bound), so
+    // recomputing the routed subtree wins at the parallelism the job actually
+    // runs at. On a real cluster with per-node storage this trade-off can
+    // flip — it's a one-line change.
+
     // pass 1 (eager): (orig_sink, bucket, bytes)
     final case class Cell(origSink: String, bucket: java.sql.Timestamp,
         var curSink: String, var lastSink: String, bytes: Long)
