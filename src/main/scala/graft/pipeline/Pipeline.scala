@@ -57,6 +57,12 @@ object Pipeline {
     */
   def parsedSalted(turns: DataFrame, saltBuckets: Int = 32): DataFrame =
     GrokParser.parse(turns)
+      // project BEFORE the exchange: the pipeline needs only `level` from the
+      // parse (routing predicate + quarantine flag); carrying dur_ms/status/
+      // payload (payload ≈ a copy of text) would nearly double the shuffled
+      // bytes of the job's one big exchange
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), col("level"))
       .repartition(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
 
   /** parse → salt-repartition → enrich → route → limit;
