@@ -161,6 +161,13 @@ object SparkEntry {
       Ann.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 5)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
+    // IVF ANN — coarse k-means quantizer + probed exact rerank (rows-only)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val m = graft.similarity.Ivf.train(emb, nLists = 16)
+      graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 16), emb, m, k = 5, nProbe = 4)
+        .select(col("query_id"), col("cand_id"), col("rank"))
+    }),
     // embedding-cosine near-dup pairs (rows-only)
     "q_cos_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),

@@ -49,14 +49,29 @@ final class Manifest(root: String) {
     * Ordering: data → fsync'd temp manifest → atomic move. A crash anywhere
     * before the move leaves the sink uncommitted; resume rewrites it
     * (overwrite mode makes the rewrite idempotent). */
+  /** Target rows per output file — sized so a file is a few hundred MB of
+    * transcript text at production row widths. */
+  val TargetRowsPerFile: Long = 4L * 1024 * 1024
+
   def writeAndCommit(sink: String, rows: DataFrame, runId: String): Unit = {
     Files.createDirectories(manifestDir)
     Files.createDirectories(tmpDir)
     val stats = rows
-      .agg(count(lit(1)).as("rows"), coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
+        coalesce(countDistinct(to_date(col("ts"))), lit(1L)).as("days"))
       .collect()(0)
+    val days = math.max(1L, stats.getLong(2))
+    // small-file control: cluster rows so each (dt, salt) lands in exactly one
+    // task => ~filesPerDay files per date partition, instead of
+    // tasks x dates tiny files (the classic partitionBy small-file explosion)
+    val filesPerDay = math.max(1L,
+      math.min(1024L, stats.getLong(0) / days / TargetRowsPerFile + 1)).toInt
+    val nParts = math.max(1, math.min(8192L, days * filesPerDay).toInt)
     rows
       .withColumn("dt", to_date(col("ts")))
+      .repartition(nParts, col("dt"),
+        pmod(hash(col("conv_id"), col("turn_idx")), lit(filesPerDay)))
       .write.mode("overwrite").partitionBy("dt").parquet(sinkPath(sink))
     val entry =
       s"""{"run_id":"$runId","sink":"$sink","row_count":${stats.getLong(0)},""" +
