@@ -97,7 +97,7 @@ object Bench {
     // cost (scheduler/exchange barriers) — the regime every real run of this
     // job lives in; below ~500x the fixture is too small to measure scaling
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "768").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     e2e(spark, sfDir, s"$tmp/warm", 1) // warm-up the write path
     spark.stop()
 
