@@ -81,9 +81,16 @@ object RateLimit {
     *
     * Returns (surviving routed rows with final `sink`, dropped rows).
     */
-  def apply(routed: DataFrame, rules: Seq[LimitRule]): (DataFrame, DataFrame) = {
+  /** @param statsSource optional cheaper plan producing the SAME routed rows,
+    *        used only for the verdict aggregate — e.g. the unsalted routing
+    *        plan, whose aggregate shuffles only map-side-combined
+    *        (sink, bucket) partials instead of paying the salt exchange's
+    *        full-table round trip. */
+  def apply(routed: DataFrame, rules: Seq[LimitRule],
+      statsSource: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     if (rules.isEmpty) return (routed, routed.limit(0))
     val spark = routed.sparkSession
+    val statsDf = statsSource.getOrElse(routed)
 
     // Deliberately NOT persisting the routed set between the verdict pass and
     // the decision join: measured on this box, a DISK_ONLY staging cache
@@ -96,7 +103,7 @@ object RateLimit {
     // pass 1 (eager): (orig_sink, bucket, bytes)
     final case class Cell(origSink: String, bucket: java.sql.Timestamp,
         var curSink: String, var lastSink: String, bytes: Long)
-    val cells = routed
+    val cells = statsDf
       .groupBy(col("sink").as("orig_sink"), bucketCol(col("ts")).as("bucket"))
       .agg(sum(octet_length(col("text"))).as("bytes"))
       .collect()

