@@ -128,6 +128,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(octet_length(col("text"))).as("bytes"))
     }),
 
+    // top-k: heaviest conversations by routed bytes (deterministic tie-break)
+    "q_top_convs" -> ((s, dir) =>
+      routed(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(sum(octet_length(col("text"))).as("bytes"), count(lit(1)).as("turns"))
+        .orderBy(col("bytes").desc, col("conv_id"))
+        .limit(10)),
+
     // ---- training-data curation operators (documents/embeddings tables) ----
     // exact dedup: hash-groupBy on normalized-content fingerprint
     "q_dedup_exact" -> ((s, dir) =>
@@ -278,6 +286,11 @@ object SparkEntry {
                SELECT 'doc-' || lpad(cast(doc_id AS varchar), 5, '0') AS conv_id, text
                FROM documents)
          GROUP BY 1"""),
+    "q_top_convs" -> Oracles.withPipeline(
+      """SELECT conv_id, cast(sum(strlen(text)) AS bigint) AS bytes,
+         count(*) AS turns
+         FROM routed GROUP BY conv_id
+         ORDER BY bytes DESC, conv_id LIMIT 10"""),
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_dups
