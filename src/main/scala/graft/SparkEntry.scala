@@ -209,6 +209,15 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // composite curation pipeline: exact-dedup -> quality gate -> PII scrub,
+    // one declarative plan end to end
+    "q_curation" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val deduped = ExactDedup.dedup(docs)
+      TextAnalysis.qualityFeatures(deduped)
+        .filter(col("quality_score") >= 300)
+        .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("scrubbed"))
+    }),
     // multimodal plumbing: binary decode stub + typed features (rows-only)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 300)).toDF()
@@ -328,6 +337,28 @@ object SparkEntry {
            t -> t <> '')) / 10) * 10 AS bigint) AS bucket,
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "q_curation" ->
+      """WITH dd AS (
+           SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM documents),
+         q AS (
+           SELECT doc_id, text,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt,
+             len(list_intersect(
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+               ['the','a','of','and','to','in','is'])) AS sw
+           FROM dd WHERE rn = 1)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+         FROM q
+         WHERE cast(floor(cast(least(nt, 200) AS double) / 200 * 500
+                        + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) >= 300""",
     "q_langid" ->
       """WITH t AS (
            SELECT doc_id,
