@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CosineSim, HyperplaneSig, MinHashSignature, SimHash64, WordShingles}
 import graft.parse.GrokExtract
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -59,7 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "w"))))
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "w"))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(args.head, intArg(args(1), "nPlanes"))))
 
   override def apply(e: SparkSessionExtensions): Unit =
     functions.foreach(e.injectFunction)

@@ -176,8 +176,14 @@ object SparkEntry {
       graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 16), emb, m, k = 5, nProbe = 4)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
-    // embedding-cosine near-dup pairs (rows-only)
+    // embedding-cosine near-dup pairs, exact all-pairs (DuckDB-oracled)
     "q_cos_neardup" -> ((s, dir) =>
+      Ann.exactNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"))),
+    // embedding-cosine near-dup via LSH bucketing — the scale path (rows-only;
+    // AnnSpec asserts it is a subset of the exact pairs with bounded recall)
+    "q_cos_neardup_lsh" -> ((s, dir) =>
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
           threshold = 0.3)
         .select(col("id_a"), col("id_b"))),
@@ -304,6 +310,52 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
+    // exact cosine twins: DOUBLE[] casts + the dot/(sqrt*sqrt) shape matching
+    // graft.functions.CosineSim's sequential double accumulation bit-for-bit
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_inner_product(q.emb, c.emb) /
+               (sqrt(list_inner_product(q.emb, q.emb)) *
+                sqrt(list_inner_product(c.emb, c.emb))) AS cos
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 16)
+         SELECT query_id, cand_id, rank FROM (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    "q_cos_neardup" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.emb, b.emb) /
+               (sqrt(list_inner_product(a.emb, a.emb)) *
+                sqrt(list_inner_product(b.emb, b.emb))) >= 0.3""",
+    // word 3-gram shingles twin of functions/WordShingles + MinHashLSH.shingles:
+    // lower → split on \s+ → drop empties; <n words ⇒ the whole text is one
+    // shingle; distinct shingles; J = |∩| / (|A|+|B|-|∩|)
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN ['']
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' ')))
+             END AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           cast(floor(cast(inter AS double) / uni * 1000) AS bigint) AS jaccard_milli
+         FROM p WHERE cast(inter AS double) / uni >= 0.5""",
     "q_token_stats" ->
       """SELECT doc_id,
          cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS int) AS n_tokens,

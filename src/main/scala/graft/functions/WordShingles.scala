@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Texts shorter than w words yield one shingle = the whole normalized text. */
 object WordShinglesImpl {
   def shingles(text: UTF8String, w: Int): ArrayData = {
-    val words = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    // UTF8String.toLowerCase == Spark's lower(): locale-independent, unlike
+    // String.toLowerCase (which under e.g. a Turkish default locale maps
+    // 'I'→'ı' and would silently change shingles/signatures)
+    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
     if (words.length == 0)
       return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
     if (words.length < w)

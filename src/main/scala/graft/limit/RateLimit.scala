@@ -86,8 +86,14 @@ object RateLimit {
     *        plan, whose aggregate shuffles only map-side-combined
     *        (sink, bucket) partials instead of paying the salt exchange's
     *        full-table round trip. */
+  /** @param maxVerdictCells guard on the driver-side verdict collect: the
+    *        aggregate is bounded by #sinks × #buckets, which is control-plane
+    *        sized ONLY if the bucket granularity is coarse (hours). A
+    *        misconfigured granularity (e.g. per-second buckets over a year)
+    *        would otherwise silently collect millions of rows. */
   def apply(routed: DataFrame, rules: Seq[LimitRule],
-      statsSource: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      statsSource: Option[DataFrame] = None,
+      maxVerdictCells: Int = 4 << 20): (DataFrame, DataFrame) = {
     if (rules.isEmpty) return (routed, routed.limit(0))
     val spark = routed.sparkSession
     val statsDf = statsSource.getOrElse(routed)
@@ -103,10 +109,18 @@ object RateLimit {
     // pass 1 (eager): (orig_sink, bucket, bytes)
     final case class Cell(origSink: String, bucket: java.sql.Timestamp,
         var curSink: String, var lastSink: String, bytes: Long)
-    val cells = statsDf
+    // limit(max+1) keeps the guard free: the check runs on the collected
+    // length, not via an extra count() pass over the aggregate
+    val collected = statsDf
       .groupBy(col("sink").as("orig_sink"), bucketCol(col("ts")).as("bucket"))
       .agg(sum(octet_length(col("text"))).as("bytes"))
+      .limit(maxVerdictCells + 1)
       .collect()
+    require(collected.length <= maxVerdictCells,
+      s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
+        "bucket granularity is too fine for driver-side verdicts; coarsen bucketCol " +
+        "or raise maxVerdictCells")
+    val cells = collected
       .map(r => Cell(r.getString(0), r.getTimestamp(1), r.getString(0),
         r.getString(0), r.getLong(2)))
 

@@ -59,7 +59,8 @@ final class Manifest(root: String) {
     val stats = rows
       .agg(count(lit(1)).as("rows"),
         coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
-        coalesce(countDistinct(to_date(col("ts"))), lit(1L)).as("days"))
+        coalesce(countDistinct(to_date(col("ts"))), lit(1L)).as("days"),
+        countDistinct(col("conv_id")).as("convs"))
       .collect()(0)
     val days = math.max(1L, stats.getLong(2))
     // small-file control: cluster rows so each (dt, salt) lands in exactly one
@@ -75,7 +76,8 @@ final class Manifest(root: String) {
       .write.mode("overwrite").partitionBy("dt").parquet(sinkPath(sink))
     val entry =
       s"""{"run_id":"$runId","sink":"$sink","row_count":${stats.getLong(0)},""" +
-        s""""bytes":${stats.getLong(1)},"committed_ts":"${java.time.Instant.now()}"}"""
+        s""""bytes":${stats.getLong(1)},"convs":${stats.getLong(3)},""" +
+        s""""committed_ts":"${java.time.Instant.now()}"}"""
     val tmp = tmpDir.resolve(s"$sink.json")
     Files.writeString(tmp, entry)
     Files.move(tmp, manifestDir.resolve(s"$sink.json"),

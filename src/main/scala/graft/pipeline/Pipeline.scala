@@ -9,7 +9,6 @@ import graft.enrich.Enrichment
 import graft.route.{RouteRule, Router}
 import graft.limit.{LimitRule, RateLimit}
 import graft.manifest.Manifest
-import graft.agg.SinkMetrics
 
 /** End-to-end job: scan → parse → enrich → route → fan-out → rate-limit →
   * per-sink writes + manifest commit + metrics.
@@ -130,10 +129,15 @@ object Pipeline {
         java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
     }
 
-    val allCommitted = new Manifest(outRoot).committedSinks().toSeq.sorted
-    val routedOut = allCommitted
-      .map(s => spark.read.parquet(manifest.sinkPath(s)))
-      .reduce(_ unionByName _)
-    SinkMetrics.perSink(routedOut)
+    // Final per-sink aggregate FROM THE MANIFEST ENTRIES — writeAndCommit
+    // already computed rows/bytes/convs per sink on the cached routed set, so
+    // re-reading every committed sink's parquet here (the round-1 shape) would
+    // be a complete second read of all written data at the 100 TB design
+    // point. The manifest IS the aggregate. (_metrics_* sidecar files carry
+    // no sink field — the isNotNull filter excludes them.)
+    manifest.entries(spark)
+      .filter(col("sink").isNotNull)
+      .select(col("sink"), col("row_count").cast("long").as("turns"),
+        col("bytes").cast("long").as("bytes"), col("convs").cast("long").as("convs"))
   }
 }

@@ -4,52 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Similarity search over an embedding column (array<float>).
   *
-  * Two paths:
+  * Paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    O(Q × N); fine when the query set is small or N is bounded.
   *  - [[lshTopK]]: random-hyperplane LSH (sign-bit sketch) bucketing — the
   *    scale path. Each vector gets a `nPlanes`-bit signature from
   *    deterministic pseudo-random hyperplanes; candidates come from an
-  *    equi-join on the signature (optionally multi-probe via banding), then
-  *    exact cosine re-ranks only the bucket.
-  *  - [[cosineNearDupPairs]]: embedding-cosine near-duplicate detection built
-  *    on the same LSH bucketing.
+  *    equi-join on signature bands (multi-probe), then exact cosine re-ranks
+  *    only the bucket.
+  *  - [[exactNearDupPairs]] / [[cosineNearDupPairs]]: embedding-cosine
+  *    near-duplicate detection — exact all-pairs (small scale / oracle duty)
+  *    and the LSH-bucketed scale path.
   *
-  * All vector math is `zip_with`/`aggregate` over the array columns —
-  * codegen'd built-ins, no UDFs.
+  * All vector math runs in custom one-pass codegen kernels
+  * ([[graft.functions.CosineSim]], [[graft.functions.HyperplaneSig]]) —
+  * the earlier `aggregate(zip_with(...))` formulation evaluated its lambdas
+  * interpreted (HOFs never enter whole-stage codegen) and made nPlanes
+  * passes per vector; the kernel is one compiled pass.
   */
 object Ann {
 
-  /** Σ a_i*b_i via zip_with + aggregate (both codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine_sim(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic ±1 hyperplane component for (plane p, dim d): the sign of
-    * xxhash64(p, d). Replaces a driver-side RNG so executors regenerate the
-    * same planes with zero broadcast. */
-  private def planeSign(p: Int, d: Column): Column =
-    when(xxhash64(lit(p), d) % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
-
-  /** nPlanes-bit sign signature of an embedding. */
-  def signature(emb: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, d) => x * planeSign(p, d)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** nPlanes-bit sign signature of an embedding (one codegen pass). */
+  def signature(emb: Column, nPlanes: Int): Column =
+    VectorFunctions.hyperplane_sig(emb, nPlanes)
 
   /** Exact cosine top-k neighbors for each query vector.
-    * `queries` and `corpus` both need (id, embedding). */
+    * `queries` and `corpus` both need (vec_id, embedding). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -92,8 +78,23 @@ object Ann {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold)
-    * via the same LSH bucketing. */
+  /** Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    * cosine >= threshold) — all-pairs; the small-scale correctness baseline
+    * and DuckDB-oracle twin of [[cosineNearDupPairs]]. */
+  def exactNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH bucketing — the scale
+    * path: only pairs sharing a signature band are scored (recall < 1 by
+    * construction; precision = 1, every emitted pair is exact-cosine
+    * verified — AnnSpec asserts the subset property against
+    * [[exactNearDupPairs]]). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       nPlanes: Int = 16, bands: Int = 4): DataFrame = {
     val r = nPlanes / bands
@@ -114,6 +115,6 @@ object Ann {
       .select("id_a", "id_b", "emb_a", "emb_b").distinct()
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,27 +37,16 @@ object Ivf {
     Model(model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }, nLists)
   }
 
-  private def centroidDf(spark: SparkSession, m: Model): DataFrame = {
-    import spark.implicits._
-    m.centroids.toSeq.toDF("centroid_id", "centroid")
-  }
-
-  /** Nearest-centroid assignment via a broadcast cross join + rank —
-    * centroid table is O(nLists), so this is a map-side operation. */
+  /** Nearest-centroid assignment as ONE projection: the centroid matrix is a
+    * plan constant inside a [[graft.functions.NearestCentroids]] codegen
+    * kernel, so assignment has zero exchange — no crossJoin row blow-up and
+    * no row_number window shuffle (the round-1 plan paid a ×nLists explode
+    * plus a full shuffle on vec_id just to pick an argmin). */
   def assign(corpus: DataFrame, m: Model, nProbe: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    val cents = centroidDf(spark, m)
-    val dist2 = aggregate(
-      zip_with(col("embedding").cast("array<double>"), col("centroid"),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
-    corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", dist2)
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= nProbe)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val matrix = m.centroids.sortBy(_._1).map(_._2)
+    corpus.select(col("vec_id"), col("embedding"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), matrix, nProbe)).as("centroid_id"))
   }
 
   /** IVF top-k: probe `nProbe` lists per query, exact cosine rerank inside. */

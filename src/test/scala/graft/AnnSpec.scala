@@ -44,6 +44,73 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_sig kernel is bit-identical to the HOF formulation it replaced") {
+    // the original interpreted formulation, kept here as the semantic oracle
+    def planeSign(p: Int, d: org.apache.spark.sql.Column) =
+      when(xxhash64(lit(p), d) % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
+    def hofSignature(emb: org.apache.spark.sql.Column, nPlanes: Int) =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) => x * planeSign(p, d)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = emb.select(
+        Ann.signature(col("embedding"), 16).as("kernel"),
+        hofSignature(col("embedding"), 16).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(diff === 0L)
+  }
+
+  test("cosine_sim kernel is bit-identical to the double-HOF formulation") {
+    // NB: the round-1 HOF ran zip_with over the raw float arrays, so products
+    // rounded to float32 before accumulating; the kernel (like the DuckDB
+    // oracle, which casts to DOUBLE[]) multiplies in double — this reference
+    // formulation casts first to pin the kernel to the double semantics.
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def norm(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val diff = l.join(r, col("id_a") < col("id_b"))
+      .select(Ann.cosine(col("ea"), col("eb")).as("kernel"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("hof"))
+      .filter(col("kernel") =!= col("hof")).count()
+    assert(diff === 0L)
+  }
+
+  test("signature plan is one codegen kernel — no interpreted HOF remains") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ZipWith}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(Ann.signature(col("embedding"), 16).as("sig"))
+      .queryExecution.optimizedPlan
+    val hofs = plan.expressions.flatMap(_.collect {
+      case e: ArrayAggregate => e
+      case e: ZipWith => e
+    })
+    assert(hofs.isEmpty, s"interpreted HOFs in signature plan: $hofs")
+    assert(plan.toString.contains("hyperplane_sig"))
+  }
+
+  test("LSH near-dup pairs ⊆ exact pairs (precision 1); full recall at tight threshold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clones = emb.filter(col("vec_id").isin(2L, 5L, 9L))
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clones)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Ann.exactNearDupPairs(corpus, threshold = 0.999))
+    val lsh = pairSet(Ann.cosineNearDupPairs(corpus, threshold = 0.999))
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    // identical vectors share every band, so the cloned pairs MUST be found
+    assert(Set((2L, 10002L), (5L, 10005L), (9L, 10009L)).subsetOf(lsh))
+  }
+
   test("LSH top-1 matches brute force when an exact duplicate exists") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val clone = emb.filter(col("vec_id") === 3)

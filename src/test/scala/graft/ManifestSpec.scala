@@ -66,6 +66,22 @@ class ManifestSpec extends SparkSpec {
     assert(e.columns.contains("routed_rows") || e.columns.contains("row_count"))
   }
 
+  test("run() metrics come from the manifest — equal a recompute, no sink rescan") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-metrics").toString
+    val result = Pipeline.run(spark, sfDir, out, runId = "rm")
+    // the returned plan must NOT scan the written sink parquet (at 100 TB
+    // that's a full second read of everything just written)
+    val planStr = result.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("/sinks/"), s"run() metrics rescan sink output:\n$planStr")
+    // values equal the per-sink aggregate recomputed from the actual output
+    val recomputed = graft.agg.SinkMetrics.perSink(readAllSinks(out))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fromManifest = result
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromManifest === recomputed)
+  }
+
   test("anti-join resume drops exactly the committed keys") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-anti").toString

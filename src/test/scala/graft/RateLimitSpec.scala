@@ -50,6 +50,16 @@ class RateLimitSpec extends SparkSpec {
     assert(dropped.count() === 5L)
   }
 
+  test("verdict-cell guard trips when bucket granularity collects too many cells") {
+    // 6 distinct (sink, hour) cells with a ceiling of 4 → actionable error
+    val rows = (0 until 6).flatMap(h => mk(h, 1, 10)).toDF()
+    val rules = Seq(LimitRule("sink_search", 50, 1, "fallback", Some("sink_fallback")))
+    val e = intercept[IllegalArgumentException] {
+      RateLimit.apply(rows, rules, maxVerdictCells = 4)
+    }
+    assert(e.getMessage.contains("bucket granularity"))
+  }
+
   test("fallback keeps rows when the fallback sink is under its limit") {
     val rows = (mk(0, 1, 10) ++ mk(1, 5, 100)).toDF()
     val rules = Seq(
