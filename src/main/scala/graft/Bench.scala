@@ -1,33 +1,168 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
+import graft.enrich.Enrichment
+import graft.limit.{RateLimit, SinglePassLimit}
 import graft.model.Transcripts
 import graft.pipeline.Pipeline
+import graft.route.Router
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"routed_turns_per_sec","value":N,"unit":"rows/sec",
   *  "queries":{name:sec,...},"sf":dir,
-  *  "e2e":{...},"scaling":{"cpus_n":8,"cpus_4n":32,"throughput_n":...,
+  *  "e2e":{...},"scaling":{"cpus_n":4,"cpus_4n":16,"throughput_n":...,
   *  "throughput_4n":...,"efficiency":...}}
   *
   * Scaling protocol (BASELINE.md): the same e2e job (parse → enrich → route →
-  * fan-out → limit → parquet sink) runs at local[N] and local[4N] on the same
-  * input; efficiency = (throughput_4N / throughput_N) / 4. This is the
-  * sandbox stand-in for N vs 4N executors (north_rule ≥ 0.8).
+  * fan-out → single-pass limit → parquet sink) runs at N and 4N cores on the
+  * same input; efficiency = (throughput_4N / throughput_N) / 4 — the sandbox
+  * stand-in for an N-executor vs 4N-executor cluster (north_rule ≥ 0.8).
+  *
+  * Isolation rules that make the comparison faithful:
+  *  - each measurement runs in its OWN child JVM with
+  *    `-XX:ActiveProcessorCount=cores` and heap = cores × per-core-mem: a
+  *    level-N run models an N-core cluster slice, so its GC/JIT/shuffle
+  *    service threads and memory must scale with N too. In-process local[N]
+  *    on a 32-core box lets the 4-core level borrow 28 idle cores for GC —
+  *    a real 4-core container (cgroup cpu cap) has no such subsidy.
+  *  - per-level time is the MEDIAN of `reps` runs (single-box spread is
+  *    ±10 %), and N / 4N runs are INTERLEAVED so slow box-state drift biases
+  *    both levels equally instead of whichever ran last.
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  /** Headline per-operator timings (subset of SparkEntry.queries that
+    * represents each operator family without double-running near-identical
+    * plans). Each is fully materialized via a noop write. */
+  private val headline = Seq(
+    "q_routed_rows", "q_sink_agg", "q_conv_spans", "q_enrich_agg",
+    "q_limit_final", "q_dedup_exact", "q_minhash_pairs", "q_simhash",
+    "q_ann_lsh", "q_token_stats", "q_quality", "q_langid")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Launch one e2e measurement in an isolated child JVM emulating a
+    * `cpus`-core cluster slice; returns (sec, rows). */
+  private def forkedE2e(cpus: Int, variant: String, sfDir: String, outDir: String,
+      mult: Int, salt: Int): (Double, Long) = {
+    val perCoreMb = sys.env.getOrElse("SPARK_GRAFT_MB_PER_CORE", "1536").toInt
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val gcFlags = sys.env.getOrElse("SPARK_GRAFT_CHILD_GC", "")
+      .split(" ").filter(_.nonEmpty).toSeq
+    val cmd = Seq(javaBin,
+      s"-XX:ActiveProcessorCount=$cpus",
+      s"-Xmx${cpus.toLong * perCoreMb}m",
+      "-Dspark.ui.enabled=false") ++ gcFlags ++ addOpens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.E2eRunner", cpus.toString, variant, sfDir, outDir,
+      mult.toString, salt.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    val line = out.linesIterator.find(_.startsWith("E2ERESULT")).getOrElse {
+      throw new IllegalStateException(s"e2e child (rc=$rc) produced no result:\n" +
+        out.takeRight(4000))
+    }
+    val parts = line.split(" ")
+    (parts(1).toDouble, parts(2).toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpusQuery = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // scaling pair: 4N capped at 16 — the parent box needs headroom for the
+    // child JVM's non-worker threads even with ActiveProcessorCount pinning
+    val cpus4n = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "16").toInt, cpusQuery)
+    val cpusN = math.max(1, cpus4n / 4)
+    val variant = sys.env.getOrElse("SPARK_GRAFT_E2E", "v3")
+    val salt = sys.env.getOrElse("SPARK_GRAFT_SALT", "32").toInt
+    // sink scratch on tmpfs: a single shared disk would serialize the sink
+    // I/O that a real cluster spreads over per-node storage (see util.Env)
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.util.Env.scratchDir), "bench").toString
+
+    // ---- phase 1: per-operator timings at full width (with one warm-up) ----
+    // (SPARK_GRAFT_QUERIES=0 skips them — e2e-only experiment mode)
+    val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val queryTimes = if (runQueries) {
+      val spark = E2eRunner.session(cpusQuery)
+      SparkEntry.queries("q_route_counts")(spark, sfDir).count() // warm-up JIT/codegen
+      val ts = headline.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      ts
+    } else Seq.empty[(String, Double)]
+
+    // ---- phase 2: interleaved scaling pairs (4N, N) × reps, median each ----
+    // amplification sized so parallel work dominates fixed per-job cost
+    // (scheduler/exchange barriers) — each child warms its own JIT first.
+    // (768 was the two-pass ceiling; the leaner single-pass plan stays under
+    // the memory-bandwidth knee at 1024 and amortizes fixed cost better.)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "1024").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val times4n = scala.collection.mutable.ArrayBuffer[Double]()
+    val timesN = scala.collection.mutable.ArrayBuffer[Double]()
+    var rows = 0L
+    (1 to reps).foreach { i =>
+      val (t4, r) = forkedE2e(cpus4n, variant, sfDir, s"$tmp/out4n_$i", mult, salt)
+      val (tn, _) = forkedE2e(cpusN, variant, sfDir, s"$tmp/outn_$i", mult, salt)
+      times4n += t4; timesN += tn; rows = r
+    }
+    val t4n = median(times4n.toSeq)
+    val tn = median(timesN.toSeq)
+
+    // clean the tmpfs scratch so repeated runs don't accumulate
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+
+    val thr4n = rows / t4n
+    val thrN = rows / tn
+    val eff = (thr4n / thrN) / (cpus4n.toDouble / cpusN)
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum + times4n.sum + timesN.sum
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(
+      f"""{"metric":"routed_turns_per_sec","value":$thr4n%.1f,"unit":"rows/sec","total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir","e2e":{"rows":$rows,"sec_4n":$t4n%.3f,"variant":"$variant","runs_4n":${arr(times4n.toSeq)},"runs_n":${arr(timesN.toSeq)}},"scaling":{"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"efficiency":$eff%.3f}}""")
+  }
+}
+
+/** Child-JVM entry for one isolated e2e measurement (see Bench scaladoc).
+  * Runs a warm-up at low amplification, then the timed run; prints
+  * `E2ERESULT <sec> <rows>`. */
+object E2eRunner {
+
+  def session(cpus: Int): SparkSession = {
+    // partitions per core: measured A/B at reps=3 medians — factor 1 → 0.835
+    // efficiency / 3.46M rows/s, factor 2 → 0.823 / 3.35M (within noise of
+    // each other; 1 wave avoids the extra per-task constant costs)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_FACTOR", "1").toInt * cpus
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // keep AQE skew handling but NOT partition coalescing: the sandbox's
       // tiny pre-amplification shuffles (~2 MB) coalesce to 1 partition and
-      // serialize the downstream 64x-amplified work — a small-data artifact
+      // serialize the downstream amplified work — a small-data artifact
       // that cannot occur at the real 10^12-row scale this job targets
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -39,93 +174,56 @@ object Bench {
     s
   }
 
-  /** e2e routed pipeline: scan → parse → enrich → route → limit → parquet sink.
+  /** e2e routed pipeline: scan → parse → enrich → route → limit → parquet.
     * The input is deterministically amplified `mult`× so compute dominates
     * fixed job overhead (the sandbox stand-in for the real 10^12-row table).
-    * Timing covers the FULL recompute + write; the row count is taken from
-    * the written files afterwards, outside the timed window.
-    * Returns (elapsedSec, routedRows). */
-  private def e2e(spark: SparkSession, sfDir: String, outDir: String, mult: Int): (Double, Long) = {
+    * Timing covers the FULL pipeline including the limiter's verdict pass;
+    * the row count is read back afterwards, outside the timed window.
+    *
+    * Variants (SPARK_GRAFT_E2E):
+    *  - v3 (default): single-pass, shuffle-reuse — parse → route → ONE
+    *    (sink,bkt,salt) exchange shared by the verdict job and the write job
+    *    (SinglePassLimit.limitReusingShuffle); plain parquet sink.
+    *  - v2: single-pass via the (sink,bkt)-partitioned staging table +
+    *    directory moves (SinglePassLimit.writeLimited) — the layout for
+    *    GB-sized buckets.
+    *  - v1: v2 with the round-1 barrier exchange kept (2 shuffles).
+    *  - v0: the round-1 two-pass limiter (verdict aggregate + decision-join
+    *    write) — kept for A/B comparison.
+    */
+  def e2e(spark: SparkSession, sfDir: String, outDir: String, mult: Int,
+      variant: String, salt: Int): (Double, Long) = {
     val turns = Transcripts.amplified(spark, sfDir, mult)
-    // clock starts BEFORE route(): the limiter's verdict aggregate is an
-    // eager pass over the fact table and belongs in the e2e time
+    val rules = RateLimit.defaultRules()
     val t0 = System.nanoTime()
-    val (routed, _) = Pipeline.route(turns, spark)
-    val out = routed.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
-    // plain parquet with a sink column: partitionBy(sink) would add a per-task
-    // sort that the real job doesn't need (Pipeline.run writes per-sink tables
-    // from the cached routed set instead)
-    out.write.mode("overwrite").parquet(outDir)
+    variant match {
+      case "v0" =>
+        val (routed, _) = Pipeline.route(turns, spark)
+        routed.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+          .write.mode("overwrite").parquet(outDir)
+      case "v1" =>
+        val fanned = Router.fanOut(Enrichment.enrich(Pipeline.parsedSalted(turns), spark))
+        SinglePassLimit.writeLimited(fanned, rules, outDir, saltBuckets = salt)
+      case "v2" =>
+        val fanned = Router.fanOut(Enrichment.enrich(Pipeline.parsedProjected(turns), spark))
+        SinglePassLimit.writeLimited(fanned, rules, outDir, saltBuckets = salt)
+      case "v3" =>
+        val fanned = Router.fanOut(Enrichment.enrich(Pipeline.parsedProjected(turns), spark))
+        SinglePassLimit.limitReusingShuffle(fanned, rules, saltBuckets = salt)
+          .write.mode("overwrite").parquet(outDir)
+      case other => throw new IllegalArgumentException(s"unknown e2e variant $other")
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     (sec, spark.read.parquet(outDir).count())
   }
 
-  /** Headline per-operator timings (subset of SparkEntry.queries that
-    * represents each operator family without double-running near-identical
-    * plans). Each is fully materialized via count(). */
-  private val headline = Seq(
-    "q_routed_rows", "q_sink_agg", "q_conv_spans", "q_enrich_agg",
-    "q_limit_final", "q_dedup_exact", "q_minhash_pairs", "q_simhash",
-    "q_ann_lsh", "q_token_stats", "q_quality", "q_langid")
-
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpusQuery = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // scaling pair: 4N capped at 16 threads — beyond that this single box
-    // saturates shared memory bandwidth / SMT, which a real multi-executor
-    // cluster scales per-node; 4 -> 16 is the faithful N vs 4N stand-in
-    // (BENCH.md documents the measured saturation curve)
-    val cpus4n = math.min(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "16").toInt, cpusQuery)
-    val cpusN = math.max(1, cpus4n / 4)
-    // sink scratch on tmpfs: a single shared disk would serialize the sink
-    // I/O that a real cluster spreads over per-node storage (see util.Env)
-    val tmp = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.util.Env.scratchDir), "bench").toString
-
-    // ---- phase 1: per-operator timings at full width (with one warm-up) ----
-    val spark = session(cpusQuery)
-    SparkEntry.queries("q_route_counts")(spark, sfDir).count() // warm-up JIT/codegen
-    val queryTimes = headline.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-
-    // ---- phase 2: e2e at 4N (warm), then throughput ----
-    // amplification sized so parallel work dominates the ~9 s fixed per-job
-    // cost (scheduler/exchange barriers) — the regime every real run of this
-    // job lives in; below ~500x the fixture is too small to measure scaling
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "768").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    e2e(spark, sfDir, s"$tmp/warm", 1) // warm-up the write path
+    val Array(cpusS, variant, sfDir, outDir, multS, saltS) = args
+    val cpus = cpusS.toInt
+    val spark = session(cpus)
+    e2e(spark, sfDir, s"$outDir-warm", math.min(8, multS.toInt), variant, saltS.toInt)
+    val (sec, rows) = e2e(spark, sfDir, outDir, multS.toInt, variant, saltS.toInt)
+    println(s"E2ERESULT $sec $rows")
     spark.stop()
-
-    val spark4n = session(cpus4n)
-    e2e(spark4n, sfDir, s"$tmp/warm4n", 1)
-    val runs4n = (1 to reps).map(i => e2e(spark4n, sfDir, s"$tmp/out4n_$i", mult))
-    val (t4n, rows) = runs4n.minBy(_._1)
-    spark4n.stop()
-
-    // ---- phase 3: e2e at N for the scaling evidence (best of reps) ----
-    val sparkN = session(cpusN)
-    e2e(sparkN, sfDir, s"$tmp/warmn", 1)
-    val tn = (1 to reps).map(i => e2e(sparkN, sfDir, s"$tmp/outn_$i", mult)._1).min
-    sparkN.stop()
-
-    // clean the tmpfs scratch so repeated runs don't accumulate
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete()
-    }
-    rm(new java.io.File(tmp))
-
-    val thr4n = rows / t4n
-    val thrN = rows / tn
-    val eff = (thr4n / thrN) / (cpus4n.toDouble / cpusN)
-    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + t4n
-    println(
-      f"""{"metric":"routed_turns_per_sec","value":$thr4n%.1f,"unit":"rows/sec","total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir","e2e":{"rows":$rows,"sec_4n":$t4n%.3f},"scaling":{"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"efficiency":$eff%.3f}}""")
   }
 }

@@ -84,6 +84,27 @@ object SparkEntry {
             lit("\",\"type\":\""), col("role"),
             lit("\",\"level\":\""), col("level"),
             lit("\",\"tool\":\""), col("tool"), lit("\"}")).as("doc"))),
+    // P7: free-form metadata as a real MAP column, flattened — the reference
+    // envelope carries map<string,string> meta (message/protobuf.proto:20)
+    // that the logz.io target flattens wholesale (target/logzio/server.go:
+    // 87-91); the map is synthesized from parsed fields (the input_hint
+    // schema has no map column), the flatten machinery is generic
+    "q_meta_flatten" -> ((s, dir) =>
+      parsedTurns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode_outer(map(lit("level"), col("level"), lit("tool"), col("tool"),
+            lit("status"), col("status"))))
+        .withColumnRenamed("key", "meta_key")
+        .withColumnRenamed("value", "meta_value")),
+    // L4/alert: breach records for an alert-action rule (the reference
+    // declares action=alert in config but left it TODO; implemented here —
+    // rows pass through, breached buckets are surfaced)
+    "q_limit_alerts" -> ((s, dir) =>
+      RateLimit.breachVerdicts(routed(s, dir),
+          graft.limit.LimitRule("sink_search", 150L, 3, "alert", None))
+        .filter(col("breached"))
+        .select(col("sink"), unix_timestamp(col("bucket")).as("bucket_epoch"),
+          floor(col("avg_bytes")).cast("long").as("avg_bytes_floor"))),
     // R1 broadcast enrich: per-(team, cost_class) rollup
     "q_enrich_agg" -> ((s, dir) =>
       Enrichment.enrich(parsedTurns(s, dir), s)
@@ -274,6 +295,23 @@ object SparkEntry {
          '{"message":"' || payload || '","type":"' || role ||
          '","level":"' || level || '","tool":"' || tool || '"}' AS doc
          FROM turns WHERE level IS NOT NULL"""),
+    "q_meta_flatten" -> Oracles.withPipeline(
+      """SELECT conv_id, turn_idx, 'level' AS meta_key, level AS meta_value FROM turns
+         UNION ALL
+         SELECT conv_id, turn_idx, 'tool' AS meta_key, tool AS meta_value FROM turns
+         UNION ALL
+         SELECT conv_id, turn_idx, 'status' AS meta_key, status AS meta_value FROM turns"""),
+    "q_limit_alerts" -> Oracles.withPipeline(
+      """SELECT sink, cast(epoch(bucket) AS bigint) AS bucket_epoch,
+         cast(floor(a) AS bigint) AS avg_bytes_floor
+         FROM (
+           SELECT sink, bucket, avg(bucket_bytes) OVER
+             (PARTITION BY sink ORDER BY bucket
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+           FROM (SELECT sink, date_trunc('hour', ts) AS bucket,
+                   sum(strlen(text)) AS bucket_bytes
+                 FROM routed WHERE sink = 'sink_search' GROUP BY 1, 2))
+         WHERE a > 150.0"""),
     "q_enrich_agg" -> Oracles.withPipeline(
       """SELECT team, cost_class, count(*) AS n,
          cast(sum(dur_ms) AS bigint) AS total_dur

@@ -73,7 +73,8 @@ object PipelineConfig {
 
     val limits = asList("limits").map { e =>
       val action = str(e, "action")
-      require(Set("fallback", "discard")(action), s"action must be fallback|discard: $action") // F5
+      require(Set("fallback", "discard", "alert")(action),
+        s"action must be fallback|discard|alert: $action") // F5
       val fallback = e.get("fallback").map(_.toString)
       require(action != "fallback" || fallback.nonEmpty, "fallback action needs 'fallback' sink")
       LimitRule(

@@ -43,6 +43,53 @@ object RateLimit {
 
   def bucketCol(ts: Column): Column = date_trunc("hour", ts)
 
+  /** One verdict cell: the byte volume of one (original sink, bucket), with
+    * the current/last sink mutated by [[runChain]]. `bucketKey` is any
+    * order-preserving encoding of the bucket (epoch millis here, epoch hours
+    * in [[SinglePassLimit]]) — the chain only ever sorts by it. `rows` rides
+    * along for the per-sink live counters (reference monitoring/stats.go
+    * analog); the chain itself only reads `bytes`. */
+  final case class Cell(origSink: String, bucketKey: Long,
+      var curSink: String, var lastSink: String, bytes: Long, rows: Long = 0L,
+      var alerted: Boolean = false)
+
+  /** The reference's limiter chain (limiter.go L1+L4 semantics), run
+    * driver-side over the control-plane cells. Per rule: per-bucket volumes
+    * of the rule's sink (including bytes rerouted INTO it by earlier rules),
+    * sliding mean over the trailing avgOverBuckets non-empty buckets,
+    * breach ⇒ fallback rewrite (curSink updated) or discard (curSink=null).
+    * Mutates `cells` in place. */
+  def runChain(cells: Array[Cell], rules: Seq[LimitRule]): Unit =
+    rules.foreach { rule =>
+      val mine = cells.filter(c => c.curSink == rule.sink)
+      val byBucket = mine.groupBy(_.bucketKey).view.mapValues(_.map(_.bytes).sum)
+        .toSeq.sortBy(_._1)
+      val breached = scala.collection.mutable.Set[Long]()
+      val windowVals = scala.collection.mutable.Queue[Long]()
+      byBucket.foreach { case (bucket, bytes) =>
+        windowVals.enqueue(bytes)
+        if (windowVals.size > rule.avgOverBuckets) windowVals.dequeue()
+        val avg = windowVals.sum.toDouble / windowVals.size
+        if (avg > rule.bytesPerBucket) breached += bucket
+      }
+      cells.foreach { c =>
+        if (c.curSink == rule.sink && breached.contains(c.bucketKey)) {
+          rule.action match {
+            case "fallback" =>
+              c.curSink = rule.fallbackSink.get
+              c.lastSink = c.curSink
+            case "discard" =>
+              c.curSink = null
+            case "alert" =>
+              // the reference declares this action (config/config.go:56-61)
+              // but never implemented it (TODO at broker/connector.go:271);
+              // here: rows pass through unchanged, the breach is recorded
+              c.alerted = true
+          }
+        }
+      }
+    }
+
   /** L1: tumbling per-(sink, bucket) byte sums. */
   def bucketBytes(routed: DataFrame): DataFrame =
     routed
@@ -107,8 +154,6 @@ object RateLimit {
     // flip — it's a one-line change.
 
     // pass 1 (eager): (orig_sink, bucket, bytes)
-    final case class Cell(origSink: String, bucket: java.sql.Timestamp,
-        var curSink: String, var lastSink: String, bytes: Long)
     // limit(max+1) keeps the guard free: the check runs on the collected
     // length, not via an extra count() pass over the aggregate
     val collected = statsDf
@@ -120,42 +165,19 @@ object RateLimit {
       s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
         "bucket granularity is too fine for driver-side verdicts; coarsen bucketCol " +
         "or raise maxVerdictCells")
+    val bucketTs = collected.map(r => r.getTimestamp(1).getTime -> r.getTimestamp(1)).toMap
     val cells = collected
-      .map(r => Cell(r.getString(0), r.getTimestamp(1), r.getString(0),
+      .map(r => Cell(r.getString(0), r.getTimestamp(1).getTime, r.getString(0),
         r.getString(0), r.getLong(2)))
 
-    // driver-side rule chain
-    rules.foreach { rule =>
-      val mine = cells.filter(c => c.curSink == rule.sink)
-      val byBucket = mine.groupBy(_.bucket).view.mapValues(_.map(_.bytes).sum)
-        .toSeq.sortBy(_._1.getTime)
-      val breached = scala.collection.mutable.Set[java.sql.Timestamp]()
-      val windowVals = scala.collection.mutable.Queue[Long]()
-      byBucket.foreach { case (bucket, bytes) =>
-        windowVals.enqueue(bytes)
-        if (windowVals.size > rule.avgOverBuckets) windowVals.dequeue()
-        val avg = windowVals.sum.toDouble / windowVals.size
-        if (avg > rule.bytesPerBucket) breached += bucket
-      }
-      cells.foreach { c =>
-        if (c.curSink == rule.sink && breached.contains(c.bucket)) {
-          rule.action match {
-            case "fallback" =>
-              c.curSink = rule.fallbackSink.get
-              c.lastSink = c.curSink
-            case "discard" =>
-              c.curSink = null
-          }
-        }
-      }
-    }
+    runChain(cells, rules)
 
     val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
     if (changed.isEmpty) return (routed, routed.limit(0))
 
     import spark.implicits._
     val decisions = spark.createDataset(changed.toSeq.map(c =>
-      (c.origSink, c.bucket, Option(c.curSink), c.lastSink)))
+      (c.origSink, bucketTs(c.bucketKey), Option(c.curSink), c.lastSink)))
       .toDF("orig_sink", "d_bucket", "final_sink", "last_sink")
 
     val joined = routed.join(

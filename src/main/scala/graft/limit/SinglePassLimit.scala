@@ -1,0 +1,249 @@
+package graft.limit
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-pass rate limiting: write once, verdict from a column-pruned scan,
+  * reroute as partition-directory moves.
+  *
+  * [[RateLimit.apply]] (the declarative formulation, kept as the semantic
+  * spec and DuckDB-oracle path) touches the fact table twice: one aggregate
+  * pass for verdicts, one write pass with the broadcast decision join.
+  * Because verdicts have whole-(sink, bucket) granularity, the second pass is
+  * avoidable — every row in a bucket shares one fate, so the fate can be
+  * applied to the bucket's FILES instead of its rows:
+  *
+  *   1. write the first-pass routing ONCE, partitioned by (sink, bkt) with a
+  *      precomputed int `bytes` column;
+  *   2. bucket sums from the files just written — the scan reads ONLY the
+  *      `bytes` column (sink/bkt come from directory names), ≈0.1 % of the
+  *      data;
+  *   3. run the [[RateLimit.runChain]] rule chain on those cells
+  *      (driver-side, control-plane sized);
+  *   4. fallback = MOVE the (sink, bucket) partition directory under the
+  *      fallback sink; discard = DELETE it. Metadata operations — no row is
+  *      rewritten. On a real cluster these are FileSystem renames (or an
+  *      Iceberg metadata-only partition rewrite); file checksums move with
+  *      their files, so nothing is re-read.
+  *
+  * Identical final contents to RateLimit.apply's surviving rows
+  * (SinglePassSpec proves equality row-for-row); the dropped set is deleted
+  * rather than returned — callers needing the dropped rows for audit use the
+  * two-pass path.
+  *
+  * Scale: the one exchange is keyed (sink, bkt, salt) so it doubles as the
+  * write-clustering step — each (sink, bucket) lands in `saltBuckets` tasks
+  * (hot buckets spread, north_rule), and each task holds few partition values
+  * so the dynamic-partition write stays small-file-free (~saltBuckets files
+  * per bucket directory).
+  */
+object SinglePassLimit {
+
+  /** Epoch-hour bucket — the same boundaries as RateLimit.bucketCol
+    * (date_trunc 'hour' in the UTC session). */
+  def bucketKey(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(unix_timestamp(ts) / 3600).cast("long")
+
+  /** Writes `routed` (pre-limit fan-out output with the standard columns
+    * conv_id, turn_idx, role, text, tool, ts, sink) to `outDir` partitioned
+    * by (sink, bkt), applies `rules` as directory moves, and returns the
+    * surviving rows as a DataFrame over `outDir`. */
+  /** The staged pre-write plan: THE one exchange, keyed (sink, bucket, salt),
+    * plus the derived bkt/bytes projections. bytes/bkt are computed after the
+    * shuffle (cheap projections) so the exchange carries no derivable
+    * columns; the partitioner hash is all that crosses the wire for them. */
+  def staged(routed: DataFrame, saltBuckets: Int): DataFrame =
+    routed
+      // the sink contract columns only: enrichment dims etc. are projected
+      // out BEFORE the exchange so they never cross the wire
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), col("sink"))
+      .repartition(col("sink"), bucketKey(col("ts")),
+        pmod(hash(col("conv_id"), col("turn_idx")), lit(saltBuckets)))
+      .withColumn("bkt", bucketKey(col("ts")))
+      .withColumn("bytes", octet_length(col("text")))
+
+  def writeLimited(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
+      saltBuckets: Int = 4, maxVerdictCells: Int = 4 << 20): DataFrame =
+    writeLimitedWithCells(routed, rules, outDir, saltBuckets, maxVerdictCells)._1
+
+  /** [[writeLimited]] plus the post-chain verdict cells — the per-(sink,
+    * bucket) in/out/dropped volumes observed DURING the run with zero extra
+    * passes (the reference's live per-connection Stats counters,
+    * monitoring/stats.go:10-118, as run artifacts). */
+  def writeLimitedWithCells(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
+      saltBuckets: Int = 4, maxVerdictCells: Int = 4 << 20): (DataFrame, Array[RateLimit.Cell]) = {
+    val spark = routed.sparkSession
+
+    staged(routed, saltBuckets)
+      .write.mode("overwrite").partitionBy("sink", "bkt").parquet(outDir)
+
+    // column-pruned verdict scan over what was just written
+    // (partition-directory values are type-inferred as int — cast back)
+    val collected = spark.read.parquet(outDir)
+      .groupBy(col("sink"), col("bkt").cast("long").as("bkt"))
+      .agg(sum(col("bytes")).as("bytes"), count(lit(1)).as("rows"))
+      .limit(maxVerdictCells + 1)
+      .collect()
+    require(collected.length <= maxVerdictCells,
+      s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
+        "bucket granularity is too fine for driver-side verdicts")
+    val cells = collected.map(r =>
+      RateLimit.Cell(r.getString(0), r.getLong(1), r.getString(0), r.getString(0),
+        r.getLong(2), r.getLong(3)))
+
+    RateLimit.runChain(cells, rules)
+
+    // apply the decisions as directory moves/deletes
+    var moved = 0
+    var deleted = 0
+    cells.filter(c => c.curSink == null || c.curSink != c.origSink).foreach { c =>
+      val src = Paths.get(outDir, s"sink=${c.origSink}", s"bkt=${c.bucketKey}")
+      if (Files.isDirectory(src)) {
+        if (c.curSink == null) { graft.util.Fs.deleteRecursively(src); deleted += 1 }
+        else {
+          mergeDirInto(src, Paths.get(outDir, s"sink=${c.curSink}", s"bkt=${c.bucketKey}"),
+            prefix = s"rr-${c.origSink}-")
+          moved += 1
+        }
+      }
+    }
+    (spark.read.parquet(outDir)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), col("sink")),
+      cells)
+  }
+
+  /** Single-pass limiting WITHOUT the partition-directory layout: the staged
+    * shuffle is shared across two jobs at the RDD level.
+    *
+    * `writeLimited` materializes the stage as (sink, bucket)-partitioned
+    * parquet so verdicts read one pruned column and reroutes are directory
+    * moves — the right layout when buckets are GB-sized. At the other end of
+    * the scale (many buckets × little data, like the sandbox fixture, or an
+    * hourly incremental run) the per-file constant costs dominate. This
+    * formulation removes the intermediate table entirely:
+    *
+    *   - ONE shuffle keyed (sink, bucket, salt) is written by the first job
+    *     and served to both (Spark skips the map stage of the second job —
+    *     the cross-job analog of ReuseExchange, see Bridge.internalRdd);
+    *   - job 1 folds each shuffle partition into its (sink, bucket) byte
+    *     sums — each group lives in exactly one partition (it is the shuffle
+    *     key), so the driver receives O(cells) partials, never rows;
+    *   - the rule chain runs driver-side as usual;
+    *   - job 2 re-reads the shuffle, drops discarded buckets and rewrites
+    *     fallback buckets' sink in-flight (a closure-captured O(cells) map —
+    *     the broadcast decision join reduced to its essence), and hands the
+    *     surviving rows to the caller's write.
+    *
+    * Net data movement: one scan+parse+route, one shuffle write, two shuffle
+    * reads, one sink write — vs the two-pass formulation's two full
+    * scan+parse+route passes. RDD-level code is justified here because the
+    * SQL layer cannot express cross-job exchange reuse (separate actions
+    * re-plan the subtree; only same-query subtrees dedupe).
+    *
+    * Returns the surviving rows; the caller's write is the second job. */
+  def limitReusingShuffle(routed: DataFrame, rules: Seq[LimitRule],
+      saltBuckets: Int = 32, maxVerdictCells: Int = 4 << 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val spark = routed.sparkSession
+    val stagedDf = routed
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), col("sink"))
+      .repartition(col("sink"), bucketKey(col("ts")),
+        pmod(hash(col("conv_id"), col("turn_idx")), lit(saltBuckets)))
+    val schema = stagedDf.schema
+    val iTs = schema.fieldIndex("ts")
+    val iText = schema.fieldIndex("text")
+    val iSink = schema.fieldIndex("sink")
+    val micros = 3600L * 1000 * 1000 // TimestampType is micros; bucket = hour
+
+    val internal = Bridge.internalRdd(stagedDf)
+
+    // job 1: per-partition (sink, bucket) byte sums; O(cells) rows collected
+    val partials = internal.mapPartitions { it =>
+      val sums = new java.util.HashMap[(UTF8String, Long), Array[Long]]()
+      it.foreach { row =>
+        val key = (row.getUTF8String(iSink), Math.floorDiv(row.getLong(iTs), micros))
+        val slot = sums.get(key)
+        if (slot != null) slot(0) += row.getUTF8String(iText).numBytes
+        else {
+          // first sighting: copy the key out of the reused row buffer
+          sums.put((key._1.copy(), key._2),
+            Array(row.getUTF8String(iText).numBytes.toLong))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      sums.entrySet().iterator().asScala
+        .map(e => (e.getKey._1.toString, e.getKey._2, e.getValue()(0)))
+    }.collect()
+    require(partials.length <= maxVerdictCells,
+      s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
+        "bucket granularity is too fine for driver-side verdicts")
+    val cells = partials
+      .groupBy(p => (p._1, p._2)).map { case ((s, b), ps) =>
+        RateLimit.Cell(s, b, s, s, ps.map(_._3).sum)
+      }.toArray
+
+    RateLimit.runChain(cells, rules)
+    val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
+    if (changed.isEmpty) return Bridge.internalCreateDataFrame(spark, internal, schema)
+
+    // job 2: rewrite/drop the affected buckets in-flight
+    val decisions: Map[(String, Long), Option[String]] =
+      changed.map(c => (c.origSink, c.bucketKey) -> Option(c.curSink)).toMap
+    val n = schema.length
+    val mapped = internal.mapPartitions { it =>
+      val dec = decisions.map { case ((s, b), v) =>
+        (UTF8String.fromString(s), b) -> v.map(UTF8String.fromString)
+      }
+      it.flatMap { row =>
+        val key = (row.getUTF8String(iSink), Math.floorDiv(row.getLong(iTs), micros))
+        dec.get(key) match {
+          case None => Iterator.single(row) // untouched bucket: zero-copy pass-through
+          case Some(None) => Iterator.empty // discard
+          case Some(Some(newSink)) => // fallback: copy out of the reused buffer
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              vals(i) =
+                if (row.isNullAt(i)) null
+                else if (i == iSink) newSink
+                else schema(i).dataType match {
+                  case org.apache.spark.sql.types.StringType => row.getUTF8String(i).copy()
+                  case org.apache.spark.sql.types.IntegerType => row.getInt(i)
+                  case org.apache.spark.sql.types.TimestampType => row.getLong(i)
+                  case dt => row.get(i, dt)
+                }
+              i += 1
+            }
+            Iterator.single(new GenericInternalRow(vals): InternalRow)
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(spark, mapped, schema)
+  }
+
+  /** Move every visible file of `src` into `dst` (created if absent), with a
+    * `prefix` that disambiguates same-named part files from the two origins.
+    * Hadoop's LocalFileSystem sidecar checksums (.name.crc) are renamed in
+    * lock-step so they stay valid; whatever hidden files remain are deleted
+    * with the source directory. */
+  private def mergeDirInto(src: Path, dst: Path, prefix: String): Unit = {
+    Files.createDirectories(dst)
+    graft.util.Fs.listDir(src)
+      .filterNot(_.getFileName.toString.startsWith(".")).foreach { f =>
+        val name = f.getFileName.toString
+        Files.move(f, dst.resolve(prefix + name), StandardCopyOption.ATOMIC_MOVE)
+        val crc = src.resolve(s".$name.crc")
+        if (Files.exists(crc))
+          Files.move(crc, dst.resolve(s".$prefix$name.crc"), StandardCopyOption.ATOMIC_MOVE)
+      }
+    graft.util.Fs.deleteRecursively(src)
+  }
+}

@@ -74,15 +74,46 @@ final class Manifest(root: String) {
       .repartition(nParts, col("dt"),
         pmod(hash(col("conv_id"), col("turn_idx")), lit(filesPerDay)))
       .write.mode("overwrite").partitionBy("dt").parquet(sinkPath(sink))
+    commitEntry(sink, runId, stats.getLong(0), stats.getLong(1), stats.getLong(3))
+  }
+
+  /** Commit a sink whose data was already staged by the single-pass limiter
+    * ([[graft.limit.SinglePassLimit]]): the staged partition directory is
+    * PROMOTED into place with one atomic rename — no row is rewritten — then
+    * the manifest entry commits. A stale uncommitted target (crash between a
+    * previous promote and its commit) is replaced. */
+  def promoteAndCommit(sink: String, stagedDir: java.nio.file.Path, runId: String,
+      rows: Long, bytes: Long, convs: Long): Unit = {
+    Files.createDirectories(manifestDir)
+    Files.createDirectories(tmpDir)
+    val target = Paths.get(sinkPath(sink))
+    if (Files.exists(target)) deleteRecursively(target)
+    Files.createDirectories(target.getParent)
+    Files.move(stagedDir, target, StandardCopyOption.ATOMIC_MOVE)
+    commitEntry(sink, runId, rows, bytes, convs)
+  }
+
+  private def commitEntry(sink: String, runId: String, rows: Long, bytes: Long,
+      convs: Long): Unit = {
     val entry =
-      s"""{"run_id":"$runId","sink":"$sink","row_count":${stats.getLong(0)},""" +
-        s""""bytes":${stats.getLong(1)},"convs":${stats.getLong(3)},""" +
+      s"""{"run_id":"$runId","sink":"$sink","row_count":$rows,""" +
+        s""""bytes":$bytes,"convs":$convs,""" +
         s""""committed_ts":"${java.time.Instant.now()}"}"""
     val tmp = tmpDir.resolve(s"$sink.json")
     Files.writeString(tmp, entry)
     Files.move(tmp, manifestDir.resolve(s"$sink.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.util.Fs.deleteRecursively(p)
+
+  /** One committed sink's rows WITH the sink column restored — promoted
+    * directories carry the sink only in the path (it was a partition column
+    * in staging), while writeAndCommit-written sinks carry it as data; this
+    * normalizes both layouts. */
+  def sinkRows(spark: SparkSession, sink: String): DataFrame =
+    spark.read.parquet(sinkPath(sink)).withColumn("sink", lit(sink))
 
   /** The lineage/metrics records as a queryable DataFrame (reference analog:
     * the JSON monitoring API, web/api/targets.go:43-121 — here it's "plain
@@ -97,7 +128,7 @@ final class Manifest(root: String) {
     val committed = committedSinks()
     if (committed.isEmpty) return routed
     val done = committed.toSeq
-      .map(s => spark.read.parquet(sinkPath(s)).select(col("conv_id"), col("turn_idx"), col("sink")))
+      .map(s => sinkRows(spark, s).select(col("conv_id"), col("turn_idx"), col("sink")))
       .reduce(_ unionByName _)
     routed.join(done, Seq("conv_id", "turn_idx", "sink"), "left_anti")
   }

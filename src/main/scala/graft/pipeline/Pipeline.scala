@@ -7,7 +7,7 @@ import graft.model.Transcripts
 import graft.parse.GrokParser
 import graft.enrich.Enrichment
 import graft.route.{RouteRule, Router}
-import graft.limit.{LimitRule, RateLimit}
+import graft.limit.{LimitRule, RateLimit, SinglePassLimit}
 import graft.manifest.Manifest
 
 /** End-to-end job: scan → parse → enrich → route → fan-out → rate-limit →
@@ -64,6 +64,16 @@ object Pipeline {
         col("tool"), col("ts"), col("level"))
       .repartition(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
 
+  /** parse → project, WITHOUT the barrier exchange — for plans whose one
+    * shuffle is the single-pass limiter's (sink, bucket, salt) exchange.
+    * Safe only because route references to `level` collapse into ONE Project,
+    * where whole-stage codegen's subexpression elimination evaluates the grok
+    * regex once per row (PlanShapeSpec asserts this on the single-pass plan). */
+  def parsedProjected(turns: DataFrame): DataFrame =
+    GrokParser.parse(turns)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), col("level"))
+
   /** parse → salt-repartition → enrich → route → limit;
     * returns (routedFinal, dropped). */
   def route(turns: DataFrame, spark: SparkSession, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -77,8 +87,23 @@ object Pipeline {
     RateLimit.apply(fanned, cfg.limitRules)
   }
 
-  /** Full run with per-sink writes, manifest commits and resume.
-    * Returns the per-sink aggregate DataFrame (also persisted as metrics). */
+  /** Full run with single-pass limiting, per-sink promotion, manifest commits
+    * and resume. Returns the per-sink aggregate DataFrame (also persisted as
+    * metrics).
+    *
+    * Single-pass shape (DESIGN.md "data movement" list, round-2 revision):
+    * the routed rows are written ONCE to a staging table partitioned by
+    * (sink, bucket); limiter verdicts come from a column-pruned scan of the
+    * staged files; fallback/discard are partition-directory moves; committing
+    * a sink = one atomic directory rename + manifest entry. The round-1 shape
+    * (verdict pre-pass + full-table cache + per-sink filtered writes) touched
+    * the fact table 2+ times and pinned it in executor memory.
+    *
+    * Resume note: a resumed run re-stages ALL sinks — limiter verdicts must
+    * see the full (sink, bucket) volumes, including buckets whose sink is
+    * already committed, or fallback accounting would change across a resume.
+    * Only uncommitted sinks are promoted.
+    */
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -88,46 +113,81 @@ object Pipeline {
       failAfterSinks: Int = Int.MaxValue // test hook: simulate a mid-job kill
   ): DataFrame = {
     val turns = Transcripts.fromEvents(spark, sfDir)
-    val (routedFinal, _) = route(turns, spark, cfg)
+    val parsed = parsedSalted(turns, cfg.saltBuckets)
+    val fanned = Router.fanOut(Enrichment.enrich(parsed, spark), cfg.routeRules)
 
     val manifest = new Manifest(outRoot)
     val already = manifest.committedSinks()
-    val sinks = routedFinal.select("sink").distinct().collect().map(_.getString(0)).sorted
-    val toDo = sinks.filterNot(already.contains)
 
-    // Cache the routed set once; every per-sink write filters the cached plan.
-    // (The salted repartition already happened post-parse, so write tasks are
-    // evenly distributed even under hot-conversation skew.)
     // observe() = runtime-visible counters with zero extra passes — the
     // reference's live Stats (monitoring/stats.go:10-118) as Spark metrics.
+    // Attached to the staging write, the job's one pass over the fact table.
     val obs = new org.apache.spark.sql.Observation(s"graft_metrics_$runId")
-    val cached = routedFinal
-      .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
-      .observe(obs,
-        count(lit(1)).as("routed_rows"),
-        sum(octet_length(col("text"))).as("routed_bytes"),
-        approx_count_distinct(col("sink")).as("sinks")) // observe() forbids exact distinct aggs
-      .cache()
+    val observed = fanned.observe(obs,
+      count(lit(1)).as("routed_rows"),
+      sum(octet_length(col("text"))).as("routed_bytes"),
+      approx_count_distinct(col("sink")).as("sinks")) // observe() forbids exact distinct aggs
+
+    val staging = s"$outRoot/_staging"
+    val (_, cells) = SinglePassLimit.writeLimitedWithCells(observed, cfg.limitRules, staging)
+
+    // per-sink commit stats from the staged files: reads (conv_id, bytes)
+    // only — the text column never leaves the files
+    val stats = spark.read.parquet(staging)
+      .groupBy(col("sink"))
+      .agg(count(lit(1)).as("rows"), sum(col("bytes")).as("bytes"),
+        countDistinct(col("conv_id")).as("convs"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
     var written = 0
-    try {
-      toDo.foreach { sink =>
-        if (written < failAfterSinks) {
-          manifest.writeAndCommit(sink, cached.filter(col("sink") === sink), runId)
-          written += 1
+    stats.keys.toSeq.sorted.filterNot(already.contains).foreach { sink =>
+      if (written < failAfterSinks) {
+        val (rows, bytes, convs) = stats(sink)
+        manifest.promoteAndCommit(sink,
+          java.nio.file.Paths.get(staging, s"sink=$sink"), runId, rows, bytes, convs)
+        written += 1
+      }
+    }
+
+    // Persist the observed run metrics next to the lineage entries (A1/A2) —
+    // the staging write always ran, so obs.get never blocks. The per-sink
+    // in/out/dropped counters come from the limiter's verdict cells, i.e.
+    // they were observed DURING the run with zero extra passes — the
+    // reference's live per-connection Stats (monitoring/stats.go:10-118,
+    // served at web/api/targets.go:43-121) as a run artifact.
+    val m = obs.get
+    val perSinkJson = {
+      final case class C(var inRows: Long = 0, var inBytes: Long = 0,
+          var outRows: Long = 0, var outBytes: Long = 0,
+          var droppedRows: Long = 0, var droppedBytes: Long = 0)
+      val bySink = scala.collection.mutable.SortedMap[String, C]()
+      cells.foreach { c =>
+        val in = bySink.getOrElseUpdate(c.origSink, C())
+        in.inRows += c.rows; in.inBytes += c.bytes
+        if (c.curSink == null) {
+          val d = bySink.getOrElseUpdate(c.lastSink, C())
+          d.droppedRows += c.rows; d.droppedBytes += c.bytes
+        } else {
+          val out = bySink.getOrElseUpdate(c.curSink, C())
+          out.outRows += c.rows; out.outBytes += c.bytes
         }
       }
-    } finally cached.unpersist()
-
-    // Persist the observed run metrics next to the lineage entries (A1/A2).
-    // obs.get blocks until an action over the observed plan completed, so
-    // only read it if at least one sink write ran this invocation.
-    if (written > 0) {
-      val m = obs.get
-      val metricsJson = s"""{"run_id":"$runId","routed_rows":${m("routed_rows")},""" +
-        s""""routed_bytes":${m("routed_bytes")},"sinks":${m("sinks")}}"""
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
+      bySink.map { case (s, c) =>
+        s""""$s":{"in_rows":${c.inRows},"in_bytes":${c.inBytes},""" +
+          s""""out_rows":${c.outRows},"out_bytes":${c.outBytes},""" +
+          s""""dropped_rows":${c.droppedRows},"dropped_bytes":${c.droppedBytes}}"""
+      }.mkString("{", ",", "}")
     }
+    val metricsJson = s"""{"run_id":"$runId","routed_rows":${m("routed_rows")},""" +
+      s""""routed_bytes":${m("routed_bytes")},"sinks":${m("sinks")},""" +
+      s""""per_sink":$perSinkJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
+
+    // drop the staging residue once every staged sink is committed
+    if (stats.keySet.subsetOf(new Manifest(outRoot).committedSinks()))
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(staging))
 
     // Final per-sink aggregate FROM THE MANIFEST ENTRIES — writeAndCommit
     // already computed rows/bytes/convs per sink on the cached routed set, so

@@ -42,7 +42,17 @@ object StatefulLimiter extends Serializable {
 
   private def bucketOf(ts: java.sql.Timestamp): Long = ts.getTime / 3600000L
 
-  def limitStream(routed: DataFrame, rules: Seq[LimitRule]): Dataset[LimitedTurn] = {
+  /** @param maxGroupRowsPerTrigger hard bound on the per-sink rows buffered
+    *        for one micro-batch. The within-batch ts sort (determinism across
+    *        shuffled arrival order) requires materializing the group, and with
+    *        parallelism = #sinks a hot sink's group is otherwise unbounded —
+    *        an OOM at production volume. The operator's CONTRACT is that the
+    *        source bounds trigger size (maxFilesPerTrigger /
+    *        maxOffsetsPerTrigger / rate limits); this guard turns a
+    *        misconfigured source into an actionable error instead of an
+    *        executor OOM. */
+  def limitStream(routed: DataFrame, rules: Seq[LimitRule],
+      maxGroupRowsPerTrigger: Int = 4 << 20): Dataset[LimitedTurn] = {
     val spark = routed.sparkSession
     import spark.implicits._
     val ruleBySink = rules.map(r => r.sink -> r).toMap
@@ -92,7 +102,16 @@ object StatefulLimiter extends Serializable {
             }
           }
 
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.conv_id, r.turn_idx))
+          val buf = new scala.collection.mutable.ArrayBuffer[In]()
+          rows.foreach { r =>
+            if (buf.length >= maxGroupRowsPerTrigger)
+              throw new IllegalStateException(
+                s"sink '$sink' exceeded $maxGroupRowsPerTrigger rows in one trigger — " +
+                  "bound the source trigger size (maxFilesPerTrigger / " +
+                  "maxOffsetsPerTrigger) or raise maxGroupRowsPerTrigger")
+            buf += r
+          }
+          buf.sortInPlaceBy(r => (r.ts.getTime, r.conv_id, r.turn_idx))
             .foreach(r => admit(r, sink, 0))
           state.update(SinkState(buckets))
           out.iterator

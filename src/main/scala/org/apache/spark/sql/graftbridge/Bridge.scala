@@ -1,13 +1,31 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** Minimal bridge to the `private[sql]` Column↔Expression converters.
-  * Lives in an org.apache.spark.sql subpackage solely to satisfy the access
-  * modifier; no Spark internals are modified. */
+/** Minimal bridge to the `private[sql]` Column↔Expression converters and the
+  * InternalRow-RDD↔DataFrame boundary. Lives in an org.apache.spark.sql
+  * subpackage solely to satisfy the access modifiers; no Spark internals are
+  * modified. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The physical InternalRow RDD of a DataFrame. Two jobs launched over the
+    * SAME returned RDD share its ShuffleDependency — the map stage (scan →
+    * transform → shuffle write) runs once and the second job's scheduler
+    * skips it (shuffle files are served from the map-output tracker). This is
+    * the cross-JOB analog of ReuseExchange, which only deduplicates within
+    * one query. */
+  def internalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
+
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -16,7 +16,7 @@ class ManifestSpec extends SparkSpec {
   private def readAllSinks(root: String): DataFrame = {
     val m = new Manifest(root)
     m.committedSinks().toSeq.sorted
-      .map(s => spark.read.parquet(m.sinkPath(s)))
+      .map(s => m.sinkRows(spark, s))
       .reduce(_ unionByName _)
   }
 
@@ -80,6 +80,57 @@ class ManifestSpec extends SparkSpec {
     val fromManifest = result
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(fromManifest === recomputed)
+  }
+
+  test("per-sink live counters in the run metrics match the committed entries") {
+    val out = Files.createTempDirectory("graft-counters").toString
+    Pipeline.run(spark, sfDir, out, runId = "rc")
+    // (_-prefixed files are invisible to path-based readers — read content)
+    import spark.implicits._
+    val mdf = spark.read.json(Seq(
+      Files.readString(java.nio.file.Paths.get(s"$out/_manifest/_metrics_rc.json"))).toDS())
+    val ps = mdf.select("per_sink").collect()(0).getStruct(0)
+    val perSink = ps.schema.fieldNames.map { s =>
+      val c = ps.getStruct(ps.fieldIndex(s))
+      s -> (c.getLong(c.fieldIndex("out_rows")), c.getLong(c.fieldIndex("out_bytes")),
+        c.getLong(c.fieldIndex("in_rows")), c.getLong(c.fieldIndex("dropped_rows")))
+    }.toMap
+    // counters observed during the run == what was actually committed
+    val entries = new Manifest(out).entries(spark)
+      .filter(org.apache.spark.sql.functions.col("sink").isNotNull)
+      .collect().map(r => r.getAs[String]("sink") ->
+        (r.getAs[Long]("row_count"), r.getAs[Long]("bytes"))).toMap
+    entries.foreach { case (sink, (rows, bytes)) =>
+      assert(perSink(sink)._1 === rows, s"out_rows for $sink")
+      assert(perSink(sink)._2 === bytes, s"out_bytes for $sink")
+    }
+    // conservation: everything routed in either survived somewhere or dropped
+    assert(perSink.values.map(_._3).sum ===
+      perSink.values.map(_._1).sum + perSink.values.map(_._4).sum)
+  }
+
+  test("metrics HTTP endpoint serves sink entries and live run counters (A4)") {
+    val out = Files.createTempDirectory("graft-http").toString
+    Pipeline.run(spark, sfDir, out, runId = "rh")
+    val srv = new graft.manifest.MetricsHttp(out, 0)
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      import spark.implicits._
+      val sinks = spark.read.json(Seq(get("/sinks")).toDS())
+      assert(sinks.count() === new Manifest(out).committedSinks().size.toLong)
+      assert(sinks.columns.contains("row_count"))
+      val runs = spark.read.json(Seq(get("/runs")).toDS())
+      assert(runs.count() === 1L)
+      assert(runs.columns.contains("per_sink"))
+      assert(get("/healthz").contains("ok"))
+    } finally srv.stop()
   }
 
   test("anti-join resume drops exactly the committed keys") {

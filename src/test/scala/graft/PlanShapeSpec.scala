@@ -71,6 +71,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("single-pass staged plan: grok only in Projects (CSE domain), ONE exchange") {
+    // the single-pass path drops the post-parse barrier exchange, so this
+    // asserts the two facts that make that safe+fast: every grok copy stays
+    // inside a Project (whole-stage codegen subexpression elimination ⇒ one
+    // regex exec per row), and the whole job has exactly one shuffle
+    // synthetic turns round-tripped through parquet: the events-derived
+    // fixture adds a row_number window (its own exchange) that exists only to
+    // DERIVE the sandbox table — production transcripts arrive with turn_idx
+    // (DESIGN.md) — and a raw LocalRelation would be eagerly collapsed by
+    // ConvertToLocalRelation, leaving no plan to inspect
+    val turnsDir = java.nio.file.Files.createTempDirectory("graft-psp").toString
+    Transcripts.synthetic(spark, nConvs = 20, turnsPerConv = 10)
+      .write.mode("overwrite").parquet(turnsDir)
+    val turns = spark.read.parquet(turnsDir)
+    val fanned = graft.route.Router.fanOut(Enrichment.enrich(
+      Pipeline.parsedProjected(turns), spark))
+    val staged = graft.limit.SinglePassLimit.staged(fanned, saltBuckets = 32)
+    def hasGrok(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists(_.isInstanceOf[graft.parse.GrokExtract])
+    val ops = staged.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(hasGrok) => p.getClass.getSimpleName
+    }
+    assert(ops.nonEmpty && ops.distinct.toSeq === Seq("Project"),
+      s"grok must only appear in Project operators, found $ops")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = staged.queryExecution.executedPlan.treeString
+      // shuffle exchanges only — the enrich BroadcastExchange is expected
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(phys).length
+      assert(exchanges === 1, s"single-pass plan must shuffle exactly once:\n$phys")
+      assert(!phys.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("limit-chain plan reuses the salted exchange instead of rescanning") {
     val (routed, _) = Pipeline.route(Transcripts.fromEvents(spark, sfDir), spark)
     val physical = routed.queryExecution.optimizedPlan.toString

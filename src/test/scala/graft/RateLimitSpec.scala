@@ -60,6 +60,24 @@ class RateLimitSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket granularity"))
   }
 
+  test("alert action records the breach but routes nothing away") {
+    // the reference declares action=alert but never implemented it
+    // (TODO at broker/connector.go:271) — here it must pass rows through
+    // unchanged while marking the breached cells
+    val rows = (mk(0, 1, 10) ++ mk(1, 5, 100)).toDF()
+    val rules = Seq(LimitRule("sink_search", 50, 1, "alert", None))
+    val (survived, dropped) = RateLimit.apply(rows, rules)
+    assert(survived.count() === 6L && dropped.count() === 0L)
+    assert(survived.filter(col("sink") === "sink_search").count() === 6L)
+    // chain-level: the breached cell is marked, sink untouched
+    val cells = Array(
+      RateLimit.Cell("sink_search", 0L, "sink_search", "sink_search", 10L),
+      RateLimit.Cell("sink_search", 1L, "sink_search", "sink_search", 500L))
+    RateLimit.runChain(cells, rules)
+    assert(!cells(0).alerted && cells(1).alerted)
+    assert(cells.forall(_.curSink == "sink_search"))
+  }
+
   test("fallback keeps rows when the fallback sink is under its limit") {
     val rows = (mk(0, 1, 10) ++ mk(1, 5, 100)).toDF()
     val rules = Seq(

@@ -48,6 +48,28 @@ class StatefulLimiterSpec extends SparkSpec {
     assert(out.take(2).forall(_._2 == "sink_search"), s"got $out")
   }
 
+  test("per-trigger group buffer is bounded: oversized trigger fails actionably") {
+    // 8 rows for one sink against a 4-row cap — the query must FAIL (with the
+    // remediation in the message), not buffer unboundedly toward an OOM
+    val rows = (0 until 8).map(i =>
+      RoutedTurn(f"c$i%02d", i, "user", "x" * 10, "search", t(12, i), "sink_search"))
+    val dir = Files.createTempDirectory("graft-slim3").toString
+    rows.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(rows.toDF().schema).parquet(dir)
+    val limited = StatefulLimiter.limitStream(stream,
+      Seq(LimitRule("sink_search", 1000, 1, "discard", None)),
+      maxGroupRowsPerTrigger = 4)
+    val q = limited.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("slim3_out").trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("maxFilesPerTrigger")),
+      s"expected the trigger-bound remediation, got: ${rootMessages(e)}")
+  }
+
   test("state carries across micro-batches (budget exhausted in batch 1 blocks batch 2)") {
     // two parquet files + maxFilesPerTrigger=1 => two micro-batches in one
     // query; the budget filled by file 1 must block file 2's row
