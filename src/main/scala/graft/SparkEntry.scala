@@ -178,6 +178,23 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000).cast("long").as("jaccard_milli"))),
+    // near-dup GROUPS: pair list → connected components (large-star/small-star)
+    // → one canonical id per transitive cluster. Oracle variant runs over the
+    // exact n-gram Jaccard edges (DuckDB recomputes those; minhash it can't)
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = NgramJaccard.pairs(docs, n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.dedup.Components.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+    }),
+    // same operator over MinHash-LSH edges — the scale path (rows-only)
+    "q_dedup_groups_lsh" -> ((s, dir) =>
+      graft.dedup.Components.dedupGroups(s.read.parquet(s"$dir/documents.parquet"),
+        MinHashLSH.Params(shingleWords = 3, numHashes = 32, bands = 8,
+          verifyJaccard = Some(0.5)))),
     // brute-force cosine top-k ANN baseline (rows-only; floats)
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -394,6 +411,39 @@ object SparkEntry {
          SELECT id_a, id_b,
            cast(floor(cast(inter AS double) / uni * 1000) AS bigint) AS jaccard_milli
          FROM p WHERE cast(inter AS double) / uni >= 0.5""",
+    // transitive closure over the same exact-Jaccard edge set; component
+    // label = min reachable doc_id (matches large-star/small-star's fixpoint)
+    "q_dedup_groups" ->
+      """WITH RECURSIVE
+         w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN ['']
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' ')))
+             END AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE cast(len(list_intersect(a.sh, b.sh)) AS double) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           UNION
+           SELECT id_b AS u, id_a AS v FROM p),
+         reach(id, comp) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id)
+         SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS grp
+         FROM documents d
+         LEFT JOIN (SELECT id, min(comp) AS grp FROM reach GROUP BY id) c
+           ON d.doc_id = c.id""",
     "q_token_stats" ->
       """SELECT doc_id,
          cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS int) AS n_tokens,

@@ -65,6 +65,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components: chains merge transitively, hubs collapse, labels are minima") {
+    import spark.implicits._
+    // chain 1-2-3 (1–3 never scored), pair 5-6, hub 10-{11,12,13} + tail 11-14
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L), (10L, 11L), (10L, 12L),
+      (13L, 10L), (11L, 14L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    assert(got === want)
+  }
+
+  test("dedup groups over LSH pairs: near-identical docs share a group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different content about spark shuffles and parquet files"),
+      (5L, "unrelated text concerning rate limiters and manifest commits here")
+    ).toDF("doc_id", "text")
+    val groups = graft.dedup.Components.dedupGroups(docs,
+      MinHashLSH.Params(shingleWords = 3, numHashes = 32, bands = 8,
+        verifyJaccard = Some(0.5)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L,
+      s"near-dups must share the min-id group: $groups")
+    assert(groups(4L) === 4L && groups(5L) === 5L, s"singletons keep their id: $groups")
+  }
+
   test("ngram jaccard: handcrafted similarity values") {
     // shingle sets (n=2, distinct): A={"a b","b c"}, B={"a b","b d"} → J = 1/3
     val d = docs(1L -> "a b c", 2L -> "a b d")
