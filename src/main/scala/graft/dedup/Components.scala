@@ -43,9 +43,12 @@ object Components {
       .distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
-      // for each node u: m = min(neighbors ∪ {u}); emit (v, m) for v > u
-      val m = e.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
-      e.join(m, "u")
+      // over the UNDIRECTED adjacency (the loop state is oriented big→small,
+      // so symmetrize first): for each center u, m = min(neighbors ∪ {u});
+      // emit (v, m) for every strictly LARGER neighbor v
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
