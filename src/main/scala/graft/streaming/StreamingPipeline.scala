@@ -59,6 +59,20 @@ object StreamingPipeline {
       .select(col("sink"), col("window.start").as("bucket"),
         col("turns"), col("bucket_bytes"))
 
+  /** Streaming exact dedup: drop (conv_id, turn_idx) duplicates ACROSS
+    * micro-batches within the watermark horizon — the streaming form of the
+    * reference's Consul-KV per-event dedup set (source/nomad/worker.go:
+    * 114-127: an at-least-once source re-emits; the dedup set makes delivery
+    * effectively-once). `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes the key's event time, so state is
+    * bounded by (horizon × arrival rate), matching the reference's TTL'd KV
+    * entries — a plain `dropDuplicates` on a stream would accrete keys
+    * forever at 10^12-turn scale. */
+  def dedupedStream(turns: DataFrame, watermark: String = "2 hours"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** Ready-to-start writer for the windowed aggregate into a memory sink
     * (tests) — production would target per-sink tables via foreachBatch. */
   def memorySinkQuery(agg: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming dedup drops re-emitted keys across micro-batches, state bounded by watermark") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val base = Transcripts.synthetic(spark, nConvs = 10, turnsPerConv = 5)
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes => deterministic file->batch order
+    // an at-least-once source re-emits a subset (same conv_id/turn_idx) plus one new row
+    val reemit = base.filter(col("conv_id") === "conv-00003")
+      .unionByName(Transcripts.synthetic(spark, 1, 1)
+        .select(lit("conv-99999").as("conv_id"), col("turn_idx"), col("role"),
+          col("text"), col("tool"), col("ts")))
+    reemit.coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = StreamingPipeline.readTurns(spark, dir, maxFilesPerTrigger = 1)
+    val q = StreamingPipeline.dedupedStream(stream)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table("sdedup_out")
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(out.length === out.distinct.length, "duplicates survived the streaming dedup")
+    assert(out.length === base.count() + 1, s"expected base+1 rows, got ${out.length}")
+    assert(out.contains(("conv-99999", 0)), "the genuinely new row must pass")
+  }
+
   test("typed sources: dummy/parquet round-trip and union merge") {
     val dir = Files.createTempDirectory("graft-src").toString
     val d = TurnSources.dummy(spark, 10, 4)
