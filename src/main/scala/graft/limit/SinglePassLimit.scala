@@ -143,7 +143,12 @@ object SinglePassLimit {
     * SQL layer cannot express cross-job exchange reuse (separate actions
     * re-plan the subtree; only same-query subtrees dedupe).
     *
-    * Returns the surviving rows; the caller's write is the second job. */
+    * Returns the surviving rows; the caller's write is the second job.
+    *
+    * Contract: `routed` carries the standard columns with non-null `ts`
+    * (the routed stream always does — `ts` comes from the source envelope);
+    * the two-pass RateLimit.apply remains the path of record for inputs
+    * needing null-bucket semantics or the dropped set. */
   def limitReusingShuffle(routed: DataFrame, rules: Seq[LimitRule],
       saltBuckets: Int = 32, maxVerdictCells: Int = 4 << 20): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
