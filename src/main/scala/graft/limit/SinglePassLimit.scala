@@ -45,10 +45,6 @@ object SinglePassLimit {
   def bucketKey(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(unix_timestamp(ts) / 3600).cast("long")
 
-  /** Writes `routed` (pre-limit fan-out output with the standard columns
-    * conv_id, turn_idx, role, text, tool, ts, sink) to `outDir` partitioned
-    * by (sink, bkt), applies `rules` as directory moves, and returns the
-    * surviving rows as a DataFrame over `outDir`. */
   /** The staged pre-write plan: THE one exchange, keyed (sink, bucket, salt),
     * plus the derived bkt/bytes projections. bytes/bkt are computed after the
     * shuffle (cheap projections) so the exchange carries no derivable
@@ -64,6 +60,10 @@ object SinglePassLimit {
       .withColumn("bkt", bucketKey(col("ts")))
       .withColumn("bytes", octet_length(col("text")))
 
+  /** Writes `routed` (pre-limit fan-out output with the standard columns
+    * conv_id, turn_idx, role, text, tool, ts, sink) to `outDir` partitioned
+    * by (sink, bkt), applies `rules` as directory moves, and returns the
+    * surviving rows as a DataFrame over `outDir`. */
   def writeLimited(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
       saltBuckets: Int = 4, maxVerdictCells: Int = 4 << 20): DataFrame =
     writeLimitedWithCells(routed, rules, outDir, saltBuckets, maxVerdictCells)._1
