@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *   small-star: symmetric, toward smaller neighbors;
   *   iterate to fixpoint — O(log n) rounds on real graphs, each round two
   *   hash aggregations (map-side combined) on node id.
-  * The loop is driver-side but touches only edge COUNTS (one `count()` per
-  * convergence check); edges themselves never leave executors.
+  * The loop is driver-side but touches only edge-set INVARIANTS — one
+  * (count, hash-sum) aggregate row per round; edges themselves never leave
+  * executors, and each round runs exactly one action.
   *
   * At 100 TB scale this is the right shape: each round shuffles (node,
   * candidate-parent) longs, never document text; skewed super-nodes are
@@ -69,27 +70,59 @@ object Components {
         .select(col("n").as("u"), col("m").as("v"))
     }
 
+    // Fixpoint detection by INVARIANTS of the canonical edge set, not set
+    // difference: both sides of the comparison are distinct canonicalized
+    // sets, so (count, Σ xxhash64(u,v)) equality identifies them up to a
+    // ~2^-64 hash-sum collision — and it costs ONE tiny aggregate job per
+    // round, where the round-2 formulation paid two extra `exceptAll`
+    // shuffles per round just to observe convergence. The sum runs in
+    // decimal(38,0) so it cannot overflow (ANSI mode) at any edge count.
     var iter = 0
     var converged = false
+    var prevCount = -1L
+    var prevHashSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(g)).cache()
-      next.count() // materialize before comparing/unpersisting the parent
-      // fixpoint: the edge set is stable (both are canonicalized distinct sets)
-      val changed = next.exceptAll(g).limit(1).count() + g.exceptAll(next).limit(1).count()
+      val stepped = smallStar(largeStar(g))
+      // cache truncates COMPUTE but not the logical plan, which otherwise
+      // doubles per round; localCheckpoint every 5 rounds truncates lineage
+      val next =
+        if ((iter + 1) % 5 == 0) stepped.localCheckpoint() else stepped.cache()
+      // one job: materializes the cache AND computes the fixpoint invariants
+      val inv = next.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("hs")).collect()(0)
+      val cnt = inv.getLong(0)
+      val hs = if (inv.isNullAt(1)) java.math.BigDecimal.ZERO
+        else inv.getDecimal(1)
       g.unpersist()
       g = next
-      converged = changed == 0
+      converged = cnt == prevCount && hs == prevHashSum
+      prevCount = cnt
+      prevHashSum = hs
       iter += 1
+    }
+    if (!converged) {
+      g.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in maxIter=$maxIter rounds — " +
+          "labels would be non-minimal; raise maxIter (real graphs converge in O(log n))")
     }
 
     // at fixpoint every node points directly at its component minimum
-    g.select(greatest(col("u"), col("v")).as("id"), least(col("u"), col("v")).as("component"))
+    val labels = g
+      .select(greatest(col("u"), col("v")).as("id"), least(col("u"), col("v")).as("component"))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
       .union(
         // component minima themselves
         g.select(least(col("u"), col("v")).as("component")).distinct()
           .select(col("component").as("id"), col("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
+      // materialize so the final round's cached edge set can be freed — the
+      // round-2 version leaked one cached RDD per call (returned a lazy plan
+      // over the cache and never unpersisted it)
+      .localCheckpoint()
+    g.unpersist()
+    labels
   }
 
   /** Dedup groups for a document table: MinHash-LSH pair detection →

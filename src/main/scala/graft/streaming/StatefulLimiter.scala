@@ -78,19 +78,8 @@ object StatefulLimiter extends Serializable {
                   row.tool, row.ts, intoSink, dropped = false)
               case Some(r) =>
                 val mine = buckets.getOrElse(intoSink, Map.empty[Long, Long])
-                // trailing-window mean INCLUDING the incoming bytes — the
-                // reference's IsAverageOverLimit(current + stored buckets)
-                val window = ((b - r.avgOverBuckets + 1) to b)
-                  .map(k => mine.getOrElse(k, 0L))
-                val projected = (window.sum + bytes).toDouble / r.avgOverBuckets
-                if (projected > r.bytesPerBucket && depth < 4) {
-                  r.action match {
-                    case "fallback" => admit(row, r.fallbackSink.get, depth + 1)
-                    case "discard" =>
-                      out += LimitedTurn(row.conv_id, row.turn_idx, row.role, row.text,
-                        row.tool, row.ts, intoSink, dropped = true)
-                  }
-                } else {
+                // account the row against intoSink's bucket counters and emit it
+                def accountAndEmit(): Unit = {
                   // TTL purge (reference purgeExpiredKeys): keep the trailing horizon
                   val horizon = b - 2L * r.avgOverBuckets
                   val updated = (mine.updated(b, mine.getOrElse(b, 0L) + bytes))
@@ -99,6 +88,29 @@ object StatefulLimiter extends Serializable {
                   out += LimitedTurn(row.conv_id, row.turn_idx, row.role, row.text,
                     row.tool, row.ts, intoSink, dropped = false)
                 }
+                // trailing-window mean INCLUDING the incoming bytes — the
+                // reference's IsAverageOverLimit(current + stored buckets)
+                val window = ((b - r.avgOverBuckets + 1) to b)
+                  .map(k => mine.getOrElse(k, 0L))
+                val projected = (window.sum + bytes).toDouble / r.avgOverBuckets
+                if (projected > r.bytesPerBucket) {
+                  r.action match {
+                    case "fallback" if depth < 4 =>
+                      admit(row, r.fallbackSink.get, depth + 1)
+                    case "alert" =>
+                      // the reference declares this action but never implemented
+                      // it (broker/connector.go:271 TODO): rows pass through and
+                      // are accounted; the breach is recorded, not re-dispatched
+                      accountAndEmit()
+                    case _ =>
+                      // "discard" — or a fallback chain still breaching at max
+                      // depth (a CYCLIC topology): an explicit flagged drop.
+                      // Silently admitting here would leak quota invisibly; the
+                      // row surfaces as dropped at the sink that refused it.
+                      out += LimitedTurn(row.conv_id, row.turn_idx, row.role, row.text,
+                        row.tool, row.ts, intoSink, dropped = true)
+                  }
+                } else accountAndEmit()
             }
           }
 

@@ -70,6 +70,37 @@ class StatefulLimiterSpec extends SparkSpec {
       s"expected the trigger-bound remediation, got: ${rootMessages(e)}")
   }
 
+  test("cyclic fallback topology: depth exhaustion drops with a flag, never admits silently") {
+    // sink_search ⇄ sink_fallback cycle, both limited to 100 bytes/bucket.
+    // Once both budgets fill, further rows ricochet until the depth bound and
+    // MUST surface as dropped=true — a silent admission would leak quota.
+    val rows = (0 until 8).map(i =>
+      RoutedTurn(f"c$i%02d", i, "user", "x" * 40, "search", t(13, i), "sink_search"))
+    val dir = Files.createTempDirectory("graft-slim4").toString
+    rows.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(rows.toDF().schema).parquet(dir)
+    val limited = StatefulLimiter.limitStream(stream, Seq(
+      LimitRule("sink_search", 100, 1, "fallback", Some("sink_fallback")),
+      LimitRule("sink_fallback", 100, 1, "fallback", Some("sink_search"))))
+    val q = limited.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("slim4_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("slim4_out").collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[String]("sink"),
+        r.getAs[Boolean]("dropped"), r.getAs[String]("text").length))
+    // conservation: every input row appears exactly once
+    assert(out.length === rows.length)
+    assert(out.map(_._1).distinct.length === rows.length)
+    // both budgets hold 2×40=80 ≤ 100; the remaining 4 rows must be dropped
+    val admitted = out.filterNot(_._3)
+    val dropped = out.filter(_._3)
+    assert(dropped.length === 4, s"got ${out.toSeq}")
+    // no admitted sink exceeds its budget — the silent-admission leak
+    admitted.groupBy(_._2).foreach { case (sink, rs) =>
+      assert(rs.map(_._4).sum <= 100, s"sink $sink over budget: ${out.toSeq}")
+    }
+  }
+
   test("state carries across micro-batches (budget exhausted in batch 1 blocks batch 2)") {
     // two parquet files + maxFilesPerTrigger=1 => two micro-batches in one
     // query; the budget filled by file 1 must block file 2's row
