@@ -41,9 +41,28 @@ import org.apache.spark.sql.functions._
 object SinglePassLimit {
 
   /** Epoch-hour bucket — the same boundaries as RateLimit.bucketCol
-    * (date_trunc 'hour' in the UTC session). */
+    * (date_trunc 'hour' in the UTC session). Matches date_trunc ONLY when the
+    * session timezone sits on a whole-hour UTC offset (enforced by
+    * [[assertWholeHourTz]] at both single-pass entry points): under e.g.
+    * Asia/Kolkata (+5:30) date_trunc boundaries fall on :30 UTC and the two
+    * limiter formulations would disagree on bucket membership. */
   def bucketKey(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(unix_timestamp(ts) / 3600).cast("long")
+
+  /** The single-pass paths bucket on epoch hours (UTC by construction); the
+    * two-pass semantic spec buckets on date_trunc('hour') in the SESSION
+    * timezone. They agree iff the session offset is a whole number of hours —
+    * anything else must use the two-pass path. */
+  private def assertWholeHourTz(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val zone = java.time.ZoneId.of(tz)
+    val off = zone.getRules.getOffset(java.time.Instant.now()).getTotalSeconds
+    require(off % 3600 == 0,
+      s"single-pass rate limiting requires a whole-hour-offset session timezone " +
+        s"(got $tz, offset ${off}s): epoch-hour buckets would disagree with the " +
+        "two-pass date_trunc('hour') spec — set spark.sql.session.timeZone=UTC " +
+        "or use RateLimit.apply")
+  }
 
   /** The staged pre-write plan: THE one exchange, keyed (sink, bucket, salt),
     * plus the derived bkt/bytes projections. bytes/bkt are computed after the
@@ -74,16 +93,51 @@ object SinglePassLimit {
     * monitoring/stats.go:10-118, as run artifacts). */
   def writeLimitedWithCells(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
       saltBuckets: Int = 4, maxVerdictCells: Int = 4 << 20): (DataFrame, Array[RateLimit.Cell]) = {
+    val (df, cells, _) = writeLimitedImpl(routed, rules, outDir, saltBuckets,
+      maxVerdictCells, computeStats = false)
+    (df, cells)
+  }
+
+  /** [[writeLimitedWithCells]] plus EXACT per-final-sink commit stats
+    * (rows, bytes, distinct convs) — computed from the same single pruned
+    * scan as the verdict cells, so the caller performs zero further passes
+    * over staged data (the round-2 [[graft.pipeline.Pipeline.run]] re-read
+    * the staged conv_id column of everything just written). */
+  def writeLimitedWithStats(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
+      saltBuckets: Int = 4, maxVerdictCells: Int = 4 << 20)
+      : (DataFrame, Array[RateLimit.Cell], Map[String, (Long, Long, Long)]) =
+    writeLimitedImpl(routed, rules, outDir, saltBuckets, maxVerdictCells,
+      computeStats = true)
+
+  private def writeLimitedImpl(routed: DataFrame, rules: Seq[LimitRule], outDir: String,
+      saltBuckets: Int, maxVerdictCells: Int, computeStats: Boolean)
+      : (DataFrame, Array[RateLimit.Cell], Map[String, (Long, Long, Long)]) = {
     val spark = routed.sparkSession
+    assertWholeHourTz(spark)
 
     staged(routed, saltBuckets)
       .write.mode("overwrite").partitionBy("sink", "bkt").parquet(outDir)
 
-    // column-pruned verdict scan over what was just written
-    // (partition-directory values are type-inferred as int — cast back)
-    val collected = spark.read.parquet(outDir)
-      .groupBy(col("sink"), col("bkt").cast("long").as("bkt"))
-      .agg(sum(col("bytes")).as("bytes"), count(lit(1)).as("rows"))
+    // Column-pruned verdict scan over what was just written (partition-
+    // directory values are type-inferred as int — cast back). With stats the
+    // ONE scan also reads conv_id and pre-aggregates at (sink, bkt, conv_id)
+    // granularity: the verdict cells re-aggregate from that cached
+    // intermediate, and the exact per-sink commit stats (incl. distinct
+    // convs, post-chain) re-aggregate from the same cache — never from the
+    // staged files again. Without stats the scan reads the bytes column only.
+    val perConv = if (computeStats)
+      Some(spark.read.parquet(outDir)
+        .groupBy(col("sink"), col("bkt").cast("long").as("bkt"), col("conv_id"))
+        .agg(sum(col("bytes")).as("bytes"), count(lit(1)).as("rows"))
+        .cache())
+    else None
+    val cellSource = perConv.getOrElse(
+      spark.read.parquet(outDir)
+        .withColumn("bkt", col("bkt").cast("long"))
+        .withColumn("rows", lit(1L)))
+    val collected = cellSource
+      .groupBy(col("sink"), col("bkt"))
+      .agg(sum(col("bytes")).as("bytes"), sum(col("rows")).as("rows"))
       .limit(maxVerdictCells + 1)
       .collect()
     require(collected.length <= maxVerdictCells,
@@ -94,11 +148,40 @@ object SinglePassLimit {
         r.getLong(2), r.getLong(3)))
 
     RateLimit.runChain(cells, rules)
+    val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
+
+    // Exact per-FINAL-sink stats from the cached intermediate + the chain's
+    // decisions — computed BEFORE the directory moves so the cache can never
+    // fall back to recomputing from moved/deleted files.
+    val stats: Map[String, (Long, Long, Long)] = perConv match {
+      case None => Map.empty
+      case Some(pc) =>
+        import spark.implicits._
+        val effective = if (changed.isEmpty) pc else {
+          val decisions = changed.toSeq
+            .map(c => (c.origSink, c.bucketKey, Option(c.curSink)))
+            .toDF("d_sink", "d_bkt", "final_sink")
+          pc.join(broadcast(decisions),
+              pc("sink") === col("d_sink") && pc("bkt") === col("d_bkt"), "left")
+            .withColumn("sink",
+              when(col("d_sink").isNotNull, col("final_sink")).otherwise(col("sink")))
+            .filter(col("sink").isNotNull) // discarded buckets
+        }
+        val m = effective
+          .groupBy(col("sink"))
+          .agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes"),
+            countDistinct(col("conv_id")).as("convs"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        pc.unpersist()
+        m
+    }
 
     // apply the decisions as directory moves/deletes
     var moved = 0
     var deleted = 0
-    cells.filter(c => c.curSink == null || c.curSink != c.origSink).foreach { c =>
+    changed.foreach { c =>
       val src = Paths.get(outDir, s"sink=${c.origSink}", s"bkt=${c.bucketKey}")
       if (Files.isDirectory(src)) {
         if (c.curSink == null) { graft.util.Fs.deleteRecursively(src); deleted += 1 }
@@ -112,7 +195,7 @@ object SinglePassLimit {
     (spark.read.parquet(outDir)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("tool"), col("ts"), col("sink")),
-      cells)
+      cells, stats)
   }
 
   /** Single-pass limiting WITHOUT the partition-directory layout: the staged
@@ -147,8 +230,10 @@ object SinglePassLimit {
     *
     * Contract: `routed` carries the standard columns with non-null `ts`
     * (the routed stream always does — `ts` comes from the source envelope);
-    * the two-pass RateLimit.apply remains the path of record for inputs
-    * needing null-bucket semantics or the dropped set. */
+    * a null ts fails fast in the verdict task rather than silently
+    * misbucketing into epoch 0. The two-pass RateLimit.apply remains the
+    * path of record for inputs needing null-bucket semantics or the
+    * dropped set. */
   def limitReusingShuffle(routed: DataFrame, rules: Seq[LimitRule],
       saltBuckets: Int = 32, maxVerdictCells: Int = 4 << 20): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -157,6 +242,7 @@ object SinglePassLimit {
     import org.apache.spark.unsafe.types.UTF8String
 
     val spark = routed.sparkSession
+    assertWholeHourTz(spark)
     val stagedDf = routed
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("tool"), col("ts"), col("sink"))
@@ -170,14 +256,28 @@ object SinglePassLimit {
 
     val internal = Bridge.internalRdd(stagedDf)
 
-    // job 1: per-partition (sink, bucket) byte sums; O(cells) rows collected
+    // job 1: per-partition (sink, bucket) byte sums; O(cells) rows collected.
+    // The cell cap is enforced INSIDE the task, not only after the collect:
+    // a misconfigured bucket granularity (e.g. per-second buckets over a
+    // year) must fail in the executor while its map is still small, not OOM
+    // the driver in the collect of millions of partials.
     val partials = internal.mapPartitions { it =>
       val sums = new java.util.HashMap[(UTF8String, Long), Array[Long]]()
       it.foreach { row =>
+        if (row.isNullAt(iTs))
+          throw new IllegalArgumentException(
+            "limitReusingShuffle requires non-null ts (the routed stream's " +
+              "source envelope always sets it); rows needing null-bucket " +
+              "semantics must use the two-pass RateLimit.apply")
         val key = (row.getUTF8String(iSink), Math.floorDiv(row.getLong(iTs), micros))
         val slot = sums.get(key)
         if (slot != null) slot(0) += row.getUTF8String(iText).numBytes
         else {
+          if (sums.size() >= maxVerdictCells)
+            throw new IllegalStateException(
+              s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) " +
+                "cells in one partition — bucket granularity is too fine for " +
+                "driver-side verdicts")
           // first sighting: copy the key out of the reused row buffer
           sums.put((key._1.copy(), key._2),
             Array(row.getUTF8String(iText).numBytes.toLong))

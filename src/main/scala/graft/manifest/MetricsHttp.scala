@@ -20,7 +20,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *
   * Routes:
   *   GET /sinks        → JSON array of committed-sink manifest entries
-  *   GET /runs         → JSON array of per-run metrics (live counters)
+  *   GET /runs         → JSON array of per-run metrics (live counters,
+  *                       incl. per-stage scan/parse/route rows)
+  *   GET /metrics      → Prometheus text exposition of the same cells
   *   GET /healthz      → "ok"
   */
 final class MetricsHttp(root: String, port: Int) {
@@ -36,14 +38,81 @@ final class MetricsHttp(root: String, port: Int) {
       .mkString("[", ",", "]")
   }
 
-  private def handler(body: () => String): HttpHandler = new HttpHandler {
+  private def handler(body: () => String,
+      contentType: String = "application/json"): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val bytes = body().getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.getResponseHeaders.add("Content-Type", contentType)
       ex.sendResponseHeaders(200, bytes.length)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
+  }
+
+  private def jsonFiles(filter: String => Boolean): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    if (!Files.isDirectory(manifestDir)) return Seq.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    graft.util.Fs.listDir(manifestDir)
+      .filter(p => filter(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
+      .map(p => om.readTree(Files.readString(p)))
+  }
+
+  /** Prometheus text exposition (version 0.0.4) over the same manifest cells
+    * — the reference serves /metrics via promhttp (web/server.go:32; counters
+    * registered in monitoring/stats.go:10-118). Committed-sink entries become
+    * per-sink totals; the per-run in/out/dropped limiter counters and stage
+    * counters are summed across runs (monotone, counter semantics). */
+  private def prometheusBody(): String = {
+    val sb = new StringBuilder
+    def counter(name: String, help: String,
+        rows: Seq[(String, Long)], label: String = "sink"): Unit = {
+      if (rows.nonEmpty) {
+        sb ++= s"# HELP $name $help\n# TYPE $name counter\n"
+        rows.foreach { case (k, v) => sb ++= s"""$name{$label="$k"} $v""" + "\n" }
+      }
+    }
+    val entries = jsonFiles(n => n.endsWith(".json") && !n.startsWith("_"))
+    counter("graft_sink_rows_total", "Rows committed per sink",
+      entries.map(e => e.get("sink").asText -> e.get("row_count").asLong))
+    counter("graft_sink_bytes_total", "Text bytes committed per sink",
+      entries.map(e => e.get("sink").asText -> e.get("bytes").asLong))
+    counter("graft_sink_convs", "Distinct conversations committed per sink",
+      entries.map(e => e.get("sink").asText -> e.get("convs").asLong))
+
+    val runs = jsonFiles(n => n.startsWith("_metrics_") && n.endsWith(".json"))
+    sb ++= s"# HELP graft_runs_total Completed pipeline runs\n" +
+      s"# TYPE graft_runs_total counter\ngraft_runs_total ${runs.size}\n"
+    // per-sink limiter counters summed across runs
+    val perSink = scala.collection.mutable.SortedMap[String, Array[Long]]()
+    val fields = Seq("in_rows", "in_bytes", "out_rows", "out_bytes",
+      "dropped_rows", "dropped_bytes")
+    runs.foreach { r =>
+      val ps = r.get("per_sink")
+      if (ps != null) ps.properties().forEach { e =>
+        val acc = perSink.getOrElseUpdate(e.getKey, new Array[Long](fields.size))
+        fields.zipWithIndex.foreach { case (f, i) =>
+          acc(i) += e.getValue.get(f).asLong }
+      }
+    }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      counter(s"graft_sink_${f}_total", s"Limiter-observed $f per sink across runs",
+        perSink.toSeq.map { case (s, a) => s -> a(i) })
+    }
+    // per-stage counters summed across runs
+    val stages = scala.collection.mutable.SortedMap[String, Long]()
+    runs.foreach { r =>
+      val st = r.get("stages")
+      if (st != null) st.properties().forEach { e =>
+        e.getValue.properties().forEach { f =>
+          val k = s"${e.getKey}_${f.getKey}"
+          stages(k) = stages.getOrElse(k, 0L) + f.getValue.asLong
+        }
+      }
+    }
+    counter("graft_stage_rows_total", "Per-stage observed counters across runs",
+      stages.toSeq, label = "stage")
+    sb.result()
   }
 
   /** Starts the server; returns the bound port (use port=0 for ephemeral). */
@@ -54,6 +123,8 @@ final class MetricsHttp(root: String, port: Int) {
     s.createContext("/runs",
       handler(() => listJson(n => n.startsWith("_metrics_") && n.endsWith(".json"))))
     s.createContext("/healthz", handler(() => "\"ok\""))
+    s.createContext("/metrics",
+      handler(() => prometheusBody(), contentType = "text/plain; version=0.0.4"))
     s.setExecutor(null) // single-threaded: a monitoring sidecar, not a data path
     s.start()
     server = Some(s)

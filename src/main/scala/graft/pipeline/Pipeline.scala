@@ -113,8 +113,28 @@ object Pipeline {
       failAfterSinks: Int = Int.MaxValue // test hook: simulate a mid-job kill
   ): DataFrame = {
     val turns = Transcripts.fromEvents(spark, sfDir)
-    val parsed = parsedSalted(turns, cfg.saltBuckets)
-    val fanned = Router.fanOut(Enrichment.enrich(parsed, spark), cfg.routeRules)
+
+    // Per-STAGE observe() counters (reference /api/sources + /api/workers
+    // parity, web/api/sources.go:30-89, workers.go:27-84): each stage of the
+    // one staging pass reports its own rows — runtime-visible metrics with
+    // zero extra passes. Conservation invariants (asserted in ManifestSpec):
+    // scan_rows = parse_ok + parse_quarantined; route_in = scan_rows;
+    // fanout_rows ≥ route_in (fan-out duplicates); dead-letter routed rows =
+    // quarantined + unmatched.
+    val obsScan = new org.apache.spark.sql.Observation(s"graft_scan_$runId")
+    val obsParse = new org.apache.spark.sql.Observation(s"graft_parse_$runId")
+    val obsRoute = new org.apache.spark.sql.Observation(s"graft_route_$runId")
+    val scanned = turns.observe(obsScan, count(lit(1)).as("rows"))
+    val parsed = parsedSalted(scanned, cfg.saltBuckets)
+      .observe(obsParse,
+        sum(when(col("level").isNotNull, 1L).otherwise(0L)).as("rows_ok"),
+        sum(when(col("level").isNull, 1L).otherwise(0L)).as("rows_quarantined"))
+    val targeted = Router.withTargets(Enrichment.enrich(parsed, spark), cfg.routeRules)
+      .observe(obsRoute,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("targets") === array(lit(Router.DeadLetter)), 1L)
+          .otherwise(0L)).as("rows_dead_letter"))
+    val fanned = targeted.withColumn("sink", explode_outer(col("targets"))).drop("targets")
 
     val manifest = new Manifest(outRoot)
     val already = manifest.committedSinks()
@@ -129,16 +149,12 @@ object Pipeline {
       approx_count_distinct(col("sink")).as("sinks")) // observe() forbids exact distinct aggs
 
     val staging = s"$outRoot/_staging"
-    val (_, cells) = SinglePassLimit.writeLimitedWithCells(observed, cfg.limitRules, staging)
-
-    // per-sink commit stats from the staged files: reads (conv_id, bytes)
-    // only — the text column never leaves the files
-    val stats = spark.read.parquet(staging)
-      .groupBy(col("sink"))
-      .agg(count(lit(1)).as("rows"), sum(col("bytes")).as("bytes"),
-        countDistinct(col("conv_id")).as("convs"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cells AND exact per-final-sink commit stats from the limiter's ONE
+    // pruned scan of the staged files — run() itself performs zero passes
+    // over staged data (the round-2 shape re-read the staged conv_id column
+    // of everything just written for the countDistinct)
+    val (_, cells, stats) =
+      SinglePassLimit.writeLimitedWithStats(observed, cfg.limitRules, staging)
 
     var written = 0
     stats.keys.toSeq.sorted.filterNot(already.contains).foreach { sink =>
@@ -179,9 +195,21 @@ object Pipeline {
           s""""dropped_rows":${c.droppedRows},"dropped_bytes":${c.droppedBytes}}"""
       }.mkString("{", ",", "}")
     }
+    // per-stage counters (sources/workers parity) — all observed on the one
+    // staging pass; see the conservation invariants at the observe() sites
+    val mScan = obsScan.get
+    val mParse = obsParse.get
+    val mRoute = obsRoute.get
+    val stagesJson =
+      s"""{"scan":{"rows":${mScan("rows")}},""" +
+        s""""parse":{"rows_ok":${mParse("rows_ok")},""" +
+        s""""rows_quarantined":${mParse("rows_quarantined")}},""" +
+        s""""route":{"rows_in":${mRoute("rows_in")},""" +
+        s""""rows_dead_letter":${mRoute("rows_dead_letter")},""" +
+        s""""fanout_rows":${m("routed_rows")}}}"""
     val metricsJson = s"""{"run_id":"$runId","routed_rows":${m("routed_rows")},""" +
       s""""routed_bytes":${m("routed_bytes")},"sinks":${m("sinks")},""" +
-      s""""per_sink":$perSinkJson}"""
+      s""""stages":$stagesJson,"per_sink":$perSinkJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
 

@@ -109,6 +109,38 @@ class ManifestSpec extends SparkSpec {
       perSink.values.map(_._1).sum + perSink.values.map(_._4).sum)
   }
 
+  test("per-stage counters conserve: scan = parse_ok + quarantined; dead-letter accounted") {
+    val out = Files.createTempDirectory("graft-stages").toString
+    Pipeline.run(spark, sfDir, out, runId = "rs")
+    import spark.implicits._
+    val mdf = spark.read.json(Seq(
+      Files.readString(java.nio.file.Paths.get(s"$out/_manifest/_metrics_rs.json"))).toDS())
+    val st = mdf.select("stages").collect()(0).getStruct(0)
+    def stage(name: String) = st.getStruct(st.fieldIndex(name))
+    def l(s: org.apache.spark.sql.Row, f: String) = s.getLong(s.fieldIndex(f))
+    val scanRows = l(stage("scan"), "rows")
+    val parseOk = l(stage("parse"), "rows_ok")
+    val quarantined = l(stage("parse"), "rows_quarantined")
+    val routeIn = l(stage("route"), "rows_in")
+    val deadLetter = l(stage("route"), "rows_dead_letter")
+    val fanout = l(stage("route"), "fanout_rows")
+    assert(scanRows > 0)
+    // conservation: every scanned row either parsed or was quarantined
+    assert(parseOk + quarantined === scanRows, s"parse stage leaks rows")
+    // the router sees every parsed row exactly once (fan-out happens after)
+    assert(routeIn === scanRows, s"route_in $routeIn != scan $scanRows")
+    // fan-out only duplicates, never drops: each input row emits >= 1 output
+    assert(fanout >= routeIn)
+    // quarantined rows are a subset of the dead-letter rows (unmatched adds more)
+    assert(deadLetter >= quarantined)
+    // cross-counter check: the stage counter equals the limiter-cell counter
+    // for the dead_letter sink (both observed on the same run)
+    val ps = mdf.select("per_sink").collect()(0).getStruct(0)
+    val dl = ps.getStruct(ps.fieldIndex("dead_letter"))
+    assert(dl.getLong(dl.fieldIndex("in_rows")) === deadLetter,
+      "stage dead-letter count != per-sink in_rows for dead_letter")
+  }
+
   test("metrics HTTP endpoint serves sink entries and live run counters (A4)") {
     val out = Files.createTempDirectory("graft-http").toString
     Pipeline.run(spark, sfDir, out, runId = "rh")
@@ -130,6 +162,26 @@ class ManifestSpec extends SparkSpec {
       assert(runs.count() === 1L)
       assert(runs.columns.contains("per_sink"))
       assert(get("/healthz").contains("ok"))
+
+      // Prometheus text exposition: parse every sample line and cross-check
+      // against the manifest entries (reference web/server.go:32 parity)
+      val prom = get("/metrics")
+      val sample = """^(\w+)(?:\{(\w+)="([^"]+)"\})? (-?\d+)$""".r
+      val samples = prom.linesIterator.filterNot(_.startsWith("#")).map {
+        case sample(name, _, label, value) => (name, Option(label), value.toLong)
+        case bad => fail(s"unparseable exposition line: '$bad'")
+      }.toSeq
+      assert(samples.nonEmpty)
+      val entries2 = new Manifest(out).entries(spark)
+        .filter(org.apache.spark.sql.functions.col("sink").isNotNull)
+        .collect().map(r => r.getAs[String]("sink") -> r.getAs[Long]("row_count")).toMap
+      val promRows = samples.collect {
+        case ("graft_sink_rows_total", Some(sink), v) => sink -> v
+      }.toMap
+      assert(promRows === entries2, s"prometheus sink rows mismatch: $promRows vs $entries2")
+      assert(samples.exists(_._1 == "graft_runs_total"))
+      assert(samples.exists(_._1 == "graft_stage_rows_total"))
+      assert(samples.exists(_._1 == "graft_sink_in_rows_total"))
     } finally srv.stop()
   }
 
