@@ -42,19 +42,26 @@ object MinHashLSH {
   def signature(shinglesCol: Column, numHashes: Int): Column =
     graft.functions.MinHashFunctions.minhash_signature(shinglesCol, numHashes)
 
-  /** (band_idx, band_key) rows, one per band per doc. */
+  /** (band_idx, band_key) rows, one per band per doc.
+    *
+    * HOF-free band explosion: bands is a compile-time constant, so the band
+    * keys are `bands` explicit xxhash64 expressions over signature slices,
+    * exploded from a literal struct array — everything stays in whole-stage
+    * codegen (transform() lambdas always run interpreted). explode_outer
+    * keeps the optimizer from inferring a size>0 filter that would inline
+    * the signature expression (the array is provably non-empty). */
   def bandedKeys(docs: DataFrame, p: Params, textCol: String, idCol: String): DataFrame = {
     val r = p.numHashes / p.bands
     require(r * p.bands == p.numHashes, "bands must divide numHashes")
     docs
       .select(col(idCol).as("id"),
         signature(shingles(col(textCol), p.shingleWords), p.numHashes).as("sig"))
-      .select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
-          b => xxhash64(lit("band") +: (0 until r).map(i =>
-            element_at(col("sig"), b * r + i + 1)): _*))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+      .select(col("id"), explode_outer(array((0 until p.bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64(lit("band") +: (0 until r).map(i =>
+            element_at(col("sig"), b * r + i + 1)): _*).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band_idx"), col("bk.band_key"))
   }
 
   /** Buckets whose size exceeded maxBucketSize (dropped from pairing). */

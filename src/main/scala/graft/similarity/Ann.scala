@@ -55,15 +55,21 @@ object Ann {
       nPlanes: Int = 16, bands: Int = 4): DataFrame = {
     val r = nPlanes / bands
     require(r * bands == nPlanes)
+    // HOF-free band explosion: bands is a compile-time constant, so the band
+    // values are `bands` explicit struct expressions exploded from a literal
+    // array — everything stays in whole-stage codegen (transform() lambdas
+    // always run interpreted). explode_outer, not explode: the array is
+    // provably non-empty, and the outer form stops the optimizer from
+    // inferring a size>0 filter that would inline the signature expression.
     def banded(df: DataFrame, idName: String, embName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(embName),
           signature(col("embedding"), nPlanes).as("sig"))
-        .select(col(idName), col(embName),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => call_function("shiftright", col("sig"), (b * r).cast("int"))
-              .bitwiseAND(lit((1L << r) - 1)))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
+        .select(col(idName), col(embName), explode_outer(array(
+          (0 until bands).map(b => struct(
+            lit(b).as("band_idx"),
+            call_function("shiftright", col("sig"), lit(b * r))
+              .bitwiseAND(lit((1L << r) - 1)).as("band_val"))): _*)).as("bv"))
+        .select(col(idName), col(embName), col("bv.band_idx"), col("bv.band_val"))
     val qb = banded(queries, "query_id", "q_emb")
     val cb = banded(corpus, "cand_id", "c_emb")
     val cands = qb.join(cb, Seq("band_idx", "band_val"))
@@ -98,14 +104,15 @@ object Ann {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       nPlanes: Int = 16, bands: Int = 4): DataFrame = {
     val r = nPlanes / bands
+    // HOF-free band explosion — same construction as lshTopK's `banded`
     val b = corpus.select(col("vec_id"), col("embedding"),
         signature(col("embedding"), nPlanes).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          i => call_function("shiftright", col("sig"), (i * r).cast("int"))
-            .bitwiseAND(lit((1L << r) - 1)))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_val")
+      .select(col("vec_id"), col("embedding"), explode_outer(array(
+        (0 until bands).map(i => struct(
+          lit(i).as("band_idx"),
+          call_function("shiftright", col("sig"), lit(i * r))
+            .bitwiseAND(lit((1L << r) - 1)).as("band_val"))): _*)).as("bv"))
+      .select(col("vec_id"), col("embedding"), col("bv.band_idx"), col("bv.band_val"))
     val l = b.select(col("band_idx"), col("band_val"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val rr = b.select(col("band_idx"), col("band_val"),

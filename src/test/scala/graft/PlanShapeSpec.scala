@@ -106,6 +106,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("LSH banding plans are HOF-free (no interpreted ArrayTransform/ArrayFilter)") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform}
+    def hofOps(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case p if p.expressions.exists(_.exists(e =>
+          e.isInstanceOf[ArrayTransform] || e.isInstanceOf[ArrayFilter])) =>
+          p.getClass.getSimpleName
+      }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded = graft.dedup.MinHashLSH.bandedKeys(
+      docs, graft.dedup.MinHashLSH.Params(), "text", "doc_id")
+    assert(hofOps(banded).isEmpty, s"minhash banding uses HOFs: ${hofOps(banded)}")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nd = graft.similarity.Ann.cosineNearDupPairs(emb, threshold = 0.9)
+    assert(hofOps(nd).isEmpty, s"cosine banding uses HOFs: ${hofOps(nd)}")
+    val topk = graft.similarity.Ann.lshTopK(emb.limit(5), emb, k = 3)
+    assert(hofOps(topk).isEmpty, s"ann banding uses HOFs: ${hofOps(topk)}")
+  }
+
   test("limit-chain plan reuses the salted exchange instead of rescanning") {
     val (routed, _) = Pipeline.route(Transcripts.fromEvents(spark, sfDir), spark)
     val physical = routed.queryExecution.optimizedPlan.toString
