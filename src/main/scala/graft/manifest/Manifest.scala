@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * rows (north_rule: "resumes idempotently without duplicate routed rows").
   *
   * No Iceberg jar in the sandbox, so "Iceberg manifest" is realized as:
-  *   <root>/sinks/<sink>/          committed sink parquet (atomic dir rename)
-  *   <root>/_manifest/<sink>.json  commit record (atomic file move)
+  *   <root>/sinks/<sink>/              committed sink parquet (atomic dir rename)
+  *   <root>/_manifest/<sink>.json      current-pointer view (atomic file move)
+  *   <root>/_snapshots/snap-NNN.json   append-only numbered commit log
+  *                                     ([[appendSnapshot]] — optimistic
+  *                                     concurrency, records never rewritten)
   * On a real cluster the same protocol maps onto Iceberg snapshot commits —
   * the unit of commit is a sink partition, the manifest is the catalog.
   *
@@ -26,6 +29,7 @@ import org.apache.spark.sql.functions._
   */
 final class Manifest(root: String) {
   private val manifestDir = Paths.get(root, "_manifest")
+  private val snapshotDir = Paths.get(root, "_snapshots")
   private val tmpDir = Paths.get(root, "_tmp")
 
   def committedSinks(): Set[String] = {
@@ -95,15 +99,71 @@ final class Manifest(root: String) {
 
   private def commitEntry(sink: String, runId: String, rows: Long, bytes: Long,
       convs: Long): Unit = {
+    val snap = appendSnapshot(sid => snapshotRecord(sid, sink, runId, rows, bytes, convs))
     val entry =
       s"""{"run_id":"$runId","sink":"$sink","row_count":$rows,""" +
-        s""""bytes":$bytes,"convs":$convs,""" +
+        s""""bytes":$bytes,"convs":$convs,"snapshot_id":$snap,""" +
         s""""committed_ts":"${java.time.Instant.now()}"}"""
     val tmp = tmpDir.resolve(s"$sink.json")
     Files.writeString(tmp, entry)
     Files.move(tmp, manifestDir.resolve(s"$sink.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def snapshotRecord(snapshotId: Long, sink: String, runId: String,
+      rows: Long, bytes: Long, convs: Long): String =
+    s"""{"snapshot_id":$snapshotId,"parent_id":${snapshotId - 1},""" +
+      s""""run_id":"$runId","sink":"$sink","op":"commit","row_count":$rows,""" +
+      s""""bytes":$bytes,"convs":$convs,""" +
+      s""""committed_ts":"${java.time.Instant.now()}"}"""
+
+  /** Append-only, snapshot-numbered commit log — the Iceberg-shaped half of
+    * the manifest. Each commit claims snapshot N+1 by ATOMICALLY hard-linking
+    * a fully-written temp record to `snap-<N+1>.json`; link creation fails if
+    * the name exists (EEXIST), so two concurrent committers can never claim
+    * the same snapshot — the loser re-reads the head and retries against
+    * N+2, exactly Iceberg's optimistic-concurrency commit protocol (on a real
+    * cluster the same loop runs against the catalog's compare-and-swap).
+    * Records are never rewritten; `<sink>.json` stays the current-pointer
+    * VIEW, derivable as "latest snapshot per sink".
+    *
+    * @param record builds the record body for a CANDIDATE snapshot id (the
+    *        id lands inside the record, so it is re-rendered per attempt)
+    * @return the claimed snapshot id */
+  def appendSnapshot(record: Long => String): Long = {
+    Files.createDirectories(snapshotDir)
+    Files.createDirectories(tmpDir)
+    var attempt = currentSnapshotId() + 1
+    while (true) {
+      val tmp = tmpDir.resolve(s"snap-$attempt-${java.util.UUID.randomUUID()}.json")
+      Files.writeString(tmp, record(attempt))
+      try {
+        Files.createLink(snapshotDir.resolve(f"snap-$attempt%08d.json"), tmp)
+        Files.delete(tmp)
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          attempt = math.max(attempt + 1, currentSnapshotId() + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Highest committed snapshot id (0 when the log is empty). */
+  def currentSnapshotId(): Long = {
+    if (!Files.isDirectory(snapshotDir)) return 0L
+    graft.util.Fs.listDir(snapshotDir)
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+        n.stripPrefix("snap-").stripSuffix(".json").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The snapshot log as a DataFrame (time travel / audit: every commit ever
+    * made, in order — `<sink>.json` current pointers are its projection). */
+  def snapshots(spark: SparkSession): DataFrame =
+    spark.read.json(snapshotDir.toString)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.util.Fs.deleteRecursively(p)

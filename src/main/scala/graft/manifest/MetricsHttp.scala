@@ -22,16 +22,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   GET /sinks        → JSON array of committed-sink manifest entries
   *   GET /runs         → JSON array of per-run metrics (live counters,
   *                       incl. per-stage scan/parse/route rows)
+  *   GET /snapshots    → JSON array of the append-only snapshot commit log
   *   GET /metrics      → Prometheus text exposition of the same cells
   *   GET /healthz      → "ok"
   */
 final class MetricsHttp(root: String, port: Int) {
   private val manifestDir = Paths.get(root, "_manifest")
+  private val snapshotDir = Paths.get(root, "_snapshots")
   private var server: Option[HttpServer] = None
 
-  private def listJson(filter: String => Boolean): String = {
-    if (!Files.isDirectory(manifestDir)) return "[]"
-    graft.util.Fs.listDir(manifestDir)
+  private def listJson(filter: String => Boolean,
+      dir: java.nio.file.Path = manifestDir): String = {
+    if (!Files.isDirectory(dir)) return "[]"
+    graft.util.Fs.listDir(dir)
       .filter(p => filter(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
       .map(p => Files.readString(p))
@@ -123,6 +126,9 @@ final class MetricsHttp(root: String, port: Int) {
     s.createContext("/runs",
       handler(() => listJson(n => n.startsWith("_metrics_") && n.endsWith(".json"))))
     s.createContext("/healthz", handler(() => "\"ok\""))
+    s.createContext("/snapshots",
+      handler(() => listJson(n => n.startsWith("snap-") && n.endsWith(".json"),
+        dir = snapshotDir)))
     s.createContext("/metrics",
       handler(() => prometheusBody(), contentType = "text/plain; version=0.0.4"))
     s.setExecutor(null) // single-threaded: a monitoring sidecar, not a data path

@@ -185,6 +185,39 @@ class ManifestSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("snapshot commit log: concurrent commits linearize, records never rewritten") {
+    val out = Files.createTempDirectory("graft-snap").toString
+    val m = new Manifest(out)
+    // 8 concurrent committers race for snapshot ids — every claim must be
+    // unique and the final log contiguous 1..8 (Iceberg-style optimistic
+    // concurrency: losers retry against the new head, nothing is rewritten)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val claimed = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = m.appendSnapshot(sid =>
+            s"""{"snapshot_id":$sid,"parent_id":${sid - 1},"run_id":"t$i",""" +
+              s""""sink":"s$i","op":"commit","row_count":$i,"bytes":0,"convs":0,""" +
+              s""""committed_ts":"2026-01-01T00:00:00Z"}""")
+        })
+      }.map(_.get())
+      assert(claimed.toSet === (1L to 8L).toSet, s"ids not contiguous: $claimed")
+    } finally pool.shutdown()
+    assert(m.currentSnapshotId() === 8L)
+    // each record's embedded snapshot_id matches its file name and parent
+    // chain is linear — the linearized history
+    val snaps = m.snapshots(spark).collect()
+      .map(r => r.getAs[Long]("snapshot_id") -> r.getAs[Long]("parent_id")).toMap
+    assert(snaps.keySet === (1L to 8L).toSet)
+    (1L to 8L).foreach(id => assert(snaps(id) === id - 1))
+    // a pipeline run appends to the log too, and sink pointers reference it
+    Pipeline.run(spark, sfDir, out, runId = "rsnap")
+    val entries = new Manifest(out).entries(spark)
+      .filter(org.apache.spark.sql.functions.col("sink").isNotNull).collect()
+    assert(entries.forall(_.getAs[Long]("snapshot_id") > 8L))
+    assert(new Manifest(out).currentSnapshotId() === 8L + entries.length)
+  }
+
   test("anti-join resume drops exactly the committed keys") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-anti").toString
