@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{CosineSim, HyperplaneSig, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{CosineSim, HyperplaneSig, MinHashSignature, NormalizeNfc, SimHash64, WordShingles}
 import graft.parse.GrokExtract
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -67,7 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HyperplaneSig].getName, "hyperplane_sig"),
-      (args: Seq[Expression]) => HyperplaneSig(args.head, intArg(args(1), "nPlanes"))))
+      (args: Seq[Expression]) => HyperplaneSig(args.head, intArg(args(1), "nPlanes"))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NormalizeNfc(args.head)))
 
   override def apply(e: SparkSessionExtensions): Unit =
     functions.foreach(e.injectFunction)

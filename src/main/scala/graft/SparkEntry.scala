@@ -253,6 +253,21 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // deterministic portable train/valid split (md5 hex-bucket, no RNG state)
+    "q_split" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        TextAnalysis.hashBucket(col("doc_id"), "split").as("bucket"),
+        TextAnalysis.datasetSplit(col("doc_id")).as("split"))),
+    // concat-and-chunk sequence packing (per-shard prefix-sum windows)
+    "q_pack" -> ((s, dir) =>
+      TextAnalysis.packs(s.read.parquet(s"$dir/documents.parquet"),
+        maxTokens = 256, nShards = 8)),
+    // Unicode NFC canonicalization (custom codegen kernel; DuckDB twin)
+    "q_normalize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        graft.functions.NormalizeFunctions.nfc_normalize(col("text")).as("normalized"))),
     // composite curation pipeline: exact-dedup -> quality gate -> PII scrub,
     // one declarative plan end to end
     "q_curation" -> ((s, dir) => {
@@ -477,6 +492,25 @@ object SparkEntry {
            t -> t <> '')) / 10) * 10 AS bigint) AS bucket,
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "q_split" ->
+      """SELECT doc_id,
+         substr(md5('split' || cast(doc_id AS varchar)), 1, 4) AS bucket,
+         CASE WHEN substr(md5('split' || cast(doc_id AS varchar)), 1, 4) < '2000'
+              THEN 'valid' ELSE 'train' END AS split
+         FROM documents""",
+    "q_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+           FROM documents)
+         SELECT doc_id, shard, cast(nt AS int) AS n_tokens,
+           cast(floor(coalesce(sum(nt) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS bigint) AS pack_id
+         FROM t""",
+    "q_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS normalized FROM documents""",
     "q_curation" ->
       """WITH dd AS (
            SELECT doc_id, text, row_number() OVER (

@@ -92,6 +92,65 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>"),
       LongDigitPattern, "<NUM>")
 
+  // -- deterministic sampling / dataset splits ------------------------------
+
+  /** Portable deterministic hash bucket: the first 4 hex chars of
+    * md5(salt ‖ key). Fixed-width lowercase hex sorts numerically under
+    * plain string comparison and md5 is bit-identical in every engine, so
+    * split membership is stable across engines, reruns and cluster sizes —
+    * the standard trick for reproducible train/valid splits at corpus scale
+    * (no RNG state, no shuffle, no sampleBy seed drift; 65536 buckets). */
+  def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+
+  /** Deterministic train/valid split: `validHexThreshold` is the exclusive
+    * upper hex bound of the valid bucket range — "2000" ⇒ 0x2000/0x10000 =
+    * 12.5 % of keys land in valid, forever, on any engine. */
+  def datasetSplit(key: Column, salt: String = "split",
+      validHexThreshold: String = "2000"): Column =
+    when(hashBucket(key, salt) < lit(validHexThreshold), lit("valid"))
+      .otherwise(lit("train"))
+
+  // -- sequence packing ------------------------------------------------------
+
+  /** Concat-and-chunk sequence packing: per shard, documents are laid out in
+    * doc-id order and cut into packs of `maxTokens` whitespace tokens; a
+    * document's pack is the window its FIRST token falls in (floor of the
+    * exclusive prefix sum / maxTokens) — the deterministic assignment a
+    * GPT-style "concatenate everything, cut every N tokens" loader produces.
+    *
+    * Scale: packing is per-shard (hash of doc id), so the window function
+    * parallelizes across `nShards` partitions instead of one global sort —
+    * matching how real packing runs (each loader worker packs its own shard).
+    */
+  def packs(docs: DataFrame, maxTokens: Int = 2048, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", pmod(col(idCol), lit(nShards)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
+  }
+
+  // -- URL/domain analysis ----------------------------------------------------
+
+  /** Per-domain URL counts over a corpus (provenance audits, domain quotas).
+    * explode_outer + null filter rather than plain explode: the non-outer
+    * generator makes the optimizer infer a size>0 filter that re-evaluates
+    * the regex per row (see Router.fanOut). */
+  val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+  def domainCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode_outer(
+        regexp_extract_all(col(textCol), lit(DomainPattern), lit(1))).as("domain"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"))
+
   // -- fingerprinting -------------------------------------------------------
 
   /** Polynomial rolling hash over the normalized token stream (deterministic

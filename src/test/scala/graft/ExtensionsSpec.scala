@@ -47,4 +47,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(viaCol.toSeq === r.getSeq[String](2).toSeq)
   }
+
+  test("nfc_normalize from SQL composes combining marks") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS n, nfc_normalize('ascii') AS a")
+      .collect()(0)
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getString(1) === "ascii")
+  }
 }

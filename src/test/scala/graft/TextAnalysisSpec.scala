@@ -37,6 +37,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("quality_score") === 112L)
   }
 
+  test("dataset split: deterministic, engine-portable, ~12.5% valid share") {
+    val keys = (0L until 4000L).toDF("doc_id")
+    val split = keys.select(col("doc_id"),
+      TextAnalysis.datasetSplit(col("doc_id")).as("split"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial(4000, 1/8): mean 500, assert within 5 sigma (~±110)
+    assert(math.abs(counts("valid") - 500L) < 110, s"valid share off: $counts")
+    // determinism: same keys → identical assignment on re-evaluation
+    val again = keys.select(col("doc_id"),
+      TextAnalysis.datasetSplit(col("doc_id")).as("split"))
+    assert(split.exceptAll(again).count() === 0)
+    // portability: md5 is the cross-engine contract — pin one known value
+    val b = keys.limit(1).select(
+      TextAnalysis.hashBucket(col("doc_id"), "split").as("b")).collect()(0).getString(0)
+    assert(b === java.security.MessageDigest.getInstance("MD5")
+      .digest("split0".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4))
+  }
+
+  test("sequence packing: prefix-sum chunk assignment, per-shard, budget-monotone") {
+    // one shard (nShards=1) with token counts 3,3,3 at budget 4:
+    // starts 0,3,6 → packs 0,0,1
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i")).toDF("doc_id", "text")
+    val p = TextAnalysis.packs(docs, maxTokens = 4, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(p === Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+    // multi-shard: pack ids restart per shard and are monotone in doc order
+    val many = (0L until 64L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val rows = TextAnalysis.packs(many, maxTokens = 8, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDoc = rs.sortBy(_._2).map(_._3)
+      assert(byDoc.head === 0L)
+      assert(byDoc.zip(byDoc.tail).forall { case (a, b) => b >= a && b <= a + 1 },
+        s"pack ids must be monotone without gaps: ${byDoc.toSeq}")
+    }
+  }
+
+  test("nfc_normalize kernel: composed == normalized(decomposed), ASCII identity") {
+    val composed = "caf\u00e9 \u00e9cole" // e-acute as single code points
+    val decomposed = "cafe\u0301 e\u0301cole" // e + combining acute U+0301
+    assert(one(decomposed, graft.functions.NormalizeFunctions.nfc_normalize(col("text")))
+      === composed)
+    assert(one("plain ascii", graft.functions.NormalizeFunctions.nfc_normalize(col("text")))
+      === "plain ascii")
+    // exact dedup with NFC pre-normalization groups the two spellings
+    val d = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "raw")
+      .select(col("doc_id"),
+        graft.functions.NormalizeFunctions.nfc_normalize(col("raw")).as("text"))
+    assert(graft.dedup.ExactDedup.dedup(d).count() === 1)
+  }
+
+  test("domain counts: handcrafted URLs aggregate per domain") {
+    val docs = Seq(
+      (1L, "see https://a.example.com/x and http://b.org/y"),
+      (2L, "again https://a.example.com/z no-url text")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a.example.com" -> 2L, "b.org" -> 1L))
+  }
+
   test("fingerprint: whitespace/case-insensitive, order-sensitive, collision-free here") {
     val fps = Seq(
       (1L, "Hello   World"), (2L, "hello world"),
