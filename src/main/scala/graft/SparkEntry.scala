@@ -268,6 +268,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"),
         graft.functions.NormalizeFunctions.nfc_normalize(col("text")).as("normalized"))),
+    // repetition/boilerplate signals (duplicate-token/-line basis points)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("dup_token_bp"), col("dup_line_bp"))),
+    // corpus-wide n-gram frequency (top bigrams, deterministic tie-break) —
+    // the heavy explode+aggregate shape a contamination/boilerplate scan runs
+    // at corpus scale; map-side combine keeps the shuffle at distinct-ngram
+    // cardinality, not token count
+    "q_top_ngrams" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode_outer(MinHashLSH.shingles(col("text"), 2)).as("ngram"))
+        .filter(col("ngram").isNotNull)
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
     // composite curation pipeline: exact-dedup -> quality gate -> PII scrub,
     // one declarative plan end to end
     "q_curation" -> ((s, dir) => {
@@ -511,6 +526,37 @@ object SparkEntry {
          FROM t""",
     "q_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS normalized FROM documents""",
+    "q_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+               l -> l <> '') AS lns
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0
+                ELSE cast(floor((1.0 - cast(len(list_distinct(toks)) AS double)
+                                  / len(toks)) * 10000) AS bigint) END AS dup_token_bp,
+           CASE WHEN len(lns) = 0 THEN 0
+                ELSE cast(floor((1.0 - cast(len(list_distinct(lns)) AS double)
+                                  / len(lns)) * 10000) AS bigint) END AS dup_line_bp
+         FROM t""",
+    "q_top_ngrams" ->
+      """WITH w AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT CASE WHEN len(words) = 0 THEN ['']
+                       WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(range(1, len(words)),
+                              i -> array_to_string(words[i:i+1], ' '))
+                  END AS sh
+           FROM w)
+         SELECT ngram, count(*) AS n
+         FROM (SELECT unnest(sh) AS ngram FROM g)
+         GROUP BY ngram
+         ORDER BY n DESC, ngram
+         LIMIT 20""",
     "q_curation" ->
       """WITH dd AS (
            SELECT doc_id, text, row_number() OVER (

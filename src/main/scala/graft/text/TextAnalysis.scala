@@ -92,6 +92,28 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>"),
       LongDigitPattern, "<NUM>")
 
+  // -- repetition / boilerplate signals -------------------------------------
+
+  /** Gopher/MassiveText-style repetition signals, in exact integer basis
+    * points (cross-engine comparable — the mirrored double expression orders
+    * identically under IEEE-754 in Spark and DuckDB): fraction of duplicate
+    * tokens and of duplicate non-empty lines. High values mark boilerplate /
+    * template spam for the curation gate. */
+  def repetitionFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def dupBp(arr: Column): Column = {
+      val n = size(arr)
+      when(n === 0, lit(0L)).otherwise(
+        floor((lit(1.0) - size(array_distinct(arr)).cast("double") / n) * 10000)
+          .cast("long"))
+    }
+    val toks = tokens(lower(t))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    docs
+      .withColumn("dup_token_bp", dupBp(toks))
+      .withColumn("dup_line_bp", dupBp(lines))
+  }
+
   // -- deterministic sampling / dataset splits ------------------------------
 
   /** Portable deterministic hash bucket: the first 4 hex chars of

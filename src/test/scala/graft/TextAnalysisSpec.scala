@@ -37,6 +37,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("quality_score") === 112L)
   }
 
+  test("repetition signals: handcrafted duplicate fractions in basis points") {
+    val d = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct → 5000 bp; 1 line → 0
+      (2L, "x y z"),            // all distinct → 0
+      (3L, "l1 l1\nl1 l1\nl2")  // tokens [l1,l1,l1,l1,l2] → 8000/... lines 3, 2 distinct → 3333
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_token_bp"), r.getAs[Long]("dup_line_bp")))).toMap
+    assert(got(1L) === ((5000L, 0L)))
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(3L) === ((6000L, 3333L))) // 5 tokens, 2 distinct → (1-2/5)*1e4
+  }
+
   test("dataset split: deterministic, engine-portable, ~12.5% valid share") {
     val keys = (0L until 4000L).toDF("doc_id")
     val split = keys.select(col("doc_id"),
