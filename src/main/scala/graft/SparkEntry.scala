@@ -268,6 +268,19 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"),
         graft.functions.NormalizeFunctions.nfc_normalize(col("text")).as("normalized"))),
+    // per-language quality quota: stratified top-K per detected language
+    // (the curation step that caps dominant languages while keeping the best
+    // of the rest — a window per lang partition, parallel across languages)
+    "q_lang_quota" -> ((s, dir) => {
+      val q = TextAnalysis.qualityFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .withColumn("lang", TextAnalysis.langGuess(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      q.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("quality_score"), col("rk"))
+    }),
     // repetition/boilerplate signals (duplicate-token/-line basis points)
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
@@ -526,6 +539,43 @@ object SparkEntry {
          FROM t""",
     "q_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS normalized FROM documents""",
+    "q_lang_quota" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','es'])) AS s_es,
+             len(list_intersect(toks, ['der','die','und','ist','das'])) AS s_de,
+             len(list_intersect(toks, ['le','la','et','est','les'])) AS s_fr,
+             len(list_intersect(toks, ['的','是','了','在','我'])) AS s_zh
+           FROM t),
+         l AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang
+           FROM s),
+         q AS (
+           SELECT doc_id,
+             cast(floor(cast(least(nt, 200) AS double) / 200 * 500
+                      + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
+           FROM (SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt,
+                   len(list_intersect(
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                     ['the','a','of','and','to','in','is'])) AS sw
+                 FROM documents))
+         SELECT l.doc_id AS doc_id, lang, quality_score,
+           cast(row_number() OVER (
+             PARTITION BY lang ORDER BY quality_score DESC, l.doc_id) AS int) AS rk
+         FROM l JOIN q ON l.doc_id = q.doc_id
+         QUALIFY rk <= 50""",
     "q_repetition" ->
       """WITH t AS (
            SELECT doc_id,
