@@ -268,6 +268,10 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"),
         graft.functions.NormalizeFunctions.nfc_normalize(col("text")).as("normalized"))),
+    // train/valid contamination scan: rare-5-gram overlap across the split
+    "q_contamination" -> ((s, dir) =>
+      TextAnalysis.splitContamination(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("train_id"), col("valid_id"), col("shared"))),
     // per-language quality quota: stratified top-K per detected language
     // (the curation step that caps dominant languages while keeping the best
     // of the rest — a window per lang partition, parallel across languages)
@@ -539,6 +543,25 @@ object SparkEntry {
          FROM t""",
     "q_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS normalized FROM documents""",
+    "q_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+             substr(md5('split' || cast(doc_id AS varchar)), 1, 4) < '2000' AS is_valid,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, is_valid,
+             unnest(list_distinct(
+               CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                    ELSE list_transform(range(1, len(words) - 3),
+                           i -> array_to_string(words[i:i+4], ' ')) END)) AS sh
+           FROM w),
+         rare AS (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 64),
+         gg AS (SELECT g.* FROM g JOIN rare USING (sh))
+         SELECT t.doc_id AS train_id, v.doc_id AS valid_id, count(*) AS shared
+         FROM gg t JOIN gg v USING (sh)
+         WHERE NOT t.is_valid AND v.is_valid
+         GROUP BY 1, 2""",
     "q_lang_quota" ->
       """WITH t AS (
            SELECT doc_id,

@@ -133,6 +133,37 @@ object TextAnalysis {
     when(hashBucket(key, salt) < lit(validHexThreshold), lit("valid"))
       .otherwise(lit("train"))
 
+  // -- train/valid contamination scan ---------------------------------------
+
+  /** Split-leakage (contamination) scan: pairs of (train doc, valid doc)
+    * sharing at least one rare word n-gram, with the count of distinct
+    * shared n-grams — the standard pre-training hygiene check (GPT-3 used
+    * 13-gram overlap; the n is a parameter). Shape: an inverted-index
+    * equi-join on the shingle, with a document-frequency cap dropping
+    * boilerplate shingles the same way posting lists are capped — without it
+    * one hot n-gram would generate a quadratic bucket. At the 100 TB design
+    * point the join key would be xxhash64(shingle) (8 bytes, collision-
+    * counted); the string key is kept here so DuckDB can twin the whole
+    * pipeline exactly. */
+  def splitContamination(docs: DataFrame, shingleWords: Int = 5,
+      maxShingleDf: Int = 64, salt: String = "split",
+      validHexThreshold: String = "2000",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      (hashBucket(col(idCol), salt) < lit(validHexThreshold)).as("is_valid"),
+      explode_outer(array_distinct(
+        graft.dedup.MinHashLSH.shingles(col(textCol), shingleWords))).as("sh"))
+    // df over distinct-per-doc shingles == number of docs containing it
+    val rare = base.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("sh")
+    val g = base.join(rare, "sh")
+    val t = g.filter(!col("is_valid")).select(col("doc_id").as("train_id"), col("sh"))
+    val v = g.filter(col("is_valid")).select(col("doc_id").as("valid_id"), col("sh"))
+    t.join(v, "sh")
+      .groupBy(col("train_id"), col("valid_id"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
   // -- sequence packing ------------------------------------------------------
 
   /** Concat-and-chunk sequence packing: per shard, documents are laid out in

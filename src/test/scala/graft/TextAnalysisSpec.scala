@@ -103,6 +103,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(graft.dedup.ExactDedup.dedup(d).count() === 1)
   }
 
+  test("split contamination: cross-split 5-gram overlap found, within-split ignored") {
+    // doc_ids chosen so 0x... md5 buckets split them: find one valid + two
+    // train ids deterministically, give the valid doc a 5-gram shared with
+    // train doc A only
+    val ids = (0L until 200L)
+    def bucket(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"split$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    val validId = ids.find(bucket(_) < "2000").get
+    val Seq(trainA, trainB) = ids.filter(bucket(_) >= "2000").take(2).toSeq
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (validId, s"$shared zeta"),
+      (trainA, s"prefix words $shared"),
+      (trainB, "completely different content here okay")).toDF("doc_id", "text")
+    val got = TextAnalysis.splitContamination(docs).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("valid_id"), r.getAs[Long]("shared")))
+    assert(got.toSeq === Seq((trainA, validId, 1L)), s"got ${got.toSeq}")
+  }
+
   test("domain counts: handcrafted URLs aggregate per domain") {
     val docs = Seq(
       (1L, "see https://a.example.com/x and http://b.org/y"),
