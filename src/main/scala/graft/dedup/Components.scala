@@ -81,12 +81,17 @@ object Components {
     var converged = false
     var prevCount = -1L
     var prevHashSum: java.math.BigDecimal = null
+    val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!converged && iter < maxIter) {
       val stepped = smallStar(largeStar(g))
       // cache truncates COMPUTE but not the logical plan, which otherwise
-      // doubles per round; localCheckpoint every 5 rounds truncates lineage
+      // doubles per round; a LAZY localCheckpoint every 5 rounds truncates
+      // lineage while keeping the invariant aggregate below as the round's
+      // ONE materializing action (eager would run its own extra job)
+      val isCheckpointRound = (iter + 1) % 5 == 0
       val next =
-        if ((iter + 1) % 5 == 0) stepped.localCheckpoint() else stepped.cache()
+        if (isCheckpointRound) stepped.localCheckpoint(eager = false)
+        else stepped.cache()
       // one job: materializes the cache AND computes the fixpoint invariants
       val inv = next.agg(
         count(lit(1)).as("n"),
@@ -94,7 +99,13 @@ object Components {
       val cnt = inv.getLong(0)
       val hs = if (inv.isNullAt(1)) java.math.BigDecimal.ZERO
         else inv.getDecimal(1)
-      g.unpersist()
+      // a locally-CHECKPOINTED round must keep its blocks until the whole
+      // call finishes: unpersisting a local checkpoint destroys the data
+      // (its lineage is truncated — unlike a plain cache there is no
+      // recompute path), and a later round's cache eviction could still
+      // need it. Plain-cache rounds unpersist immediately as before.
+      if (checkpointed.lastOption.contains(g)) () else g.unpersist()
+      if (isCheckpointRound) checkpointed += next
       g = next
       converged = cnt == prevCount && hs == prevHashSum
       prevCount = cnt
@@ -102,7 +113,7 @@ object Components {
       iter += 1
     }
     if (!converged) {
-      g.unpersist()
+      (g +: checkpointed.toSeq).distinct.foreach(_.unpersist())
       throw new IllegalStateException(
         s"connectedComponents did not reach a fixpoint in maxIter=$maxIter rounds — " +
           "labels would be non-minimal; raise maxIter (real graphs converge in O(log n))")
@@ -121,7 +132,7 @@ object Components {
       // round-2 version leaked one cached RDD per call (returned a lazy plan
       // over the cache and never unpersisted it)
       .localCheckpoint()
-    g.unpersist()
+    (g +: checkpointed.toSeq).distinct.foreach(_.unpersist())
     labels
   }
 

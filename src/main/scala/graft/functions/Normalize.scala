@@ -12,10 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object NormalizeImpl {
 
   /** Unicode NFC normalization. ASCII fast path: NFC over pure-ASCII bytes is
-    * the identity, so the common case is a zero-copy pass-through without
-    * String materialization (Normalizer.isNormalized scans without
-    * allocating; training corpora are overwhelmingly ASCII-heavy). */
+    * the identity, so a byte scan (no String materialization at all) returns
+    * the input UTF8String unchanged for the overwhelmingly-ASCII common case;
+    * only rows containing a >=0x80 byte pay the decode + isNormalized check. */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: zero-copy identity
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

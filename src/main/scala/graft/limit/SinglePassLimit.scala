@@ -55,13 +55,21 @@ object SinglePassLimit {
     * anything else must use the two-pass path. */
   private def assertWholeHourTz(spark: SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    val zone = java.time.ZoneId.of(tz)
-    val off = zone.getRules.getOffset(java.time.Instant.now()).getTotalSeconds
-    require(off % 3600 == 0,
+    val rules = java.time.ZoneId.of(tz).getRules
+    // EVERY offset the zone's rules can produce must be whole-hour — not
+    // just the offset at this instant: a DST-varying zone like
+    // Australia/Lord_Howe (+10:30 standard, +11:00 DST) would pass a
+    // now()-only check half the year and still misbucket standard-time rows
+    import scala.jdk.CollectionConverters._
+    val offsets = rules.getOffset(java.time.Instant.now()) +:
+      rules.getTransitionRules.asScala.toSeq.flatMap(tr =>
+        Seq(tr.getOffsetBefore, tr.getOffsetAfter))
+    val bad = offsets.find(_.getTotalSeconds % 3600 != 0)
+    require(bad.isEmpty,
       s"single-pass rate limiting requires a whole-hour-offset session timezone " +
-        s"(got $tz, offset ${off}s): epoch-hour buckets would disagree with the " +
-        "two-pass date_trunc('hour') spec — set spark.sql.session.timeZone=UTC " +
-        "or use RateLimit.apply")
+        s"(got $tz, which can sit at offset ${bad.get}): epoch-hour buckets would " +
+        "disagree with the two-pass date_trunc('hour') spec — set " +
+        "spark.sql.session.timeZone=UTC or use RateLimit.apply")
   }
 
   /** The staged pre-write plan: THE one exchange, keyed (sink, bucket, salt),
@@ -131,52 +139,53 @@ object SinglePassLimit {
         .agg(sum(col("bytes")).as("bytes"), count(lit(1)).as("rows"))
         .cache())
     else None
-    val cellSource = perConv.getOrElse(
-      spark.read.parquet(outDir)
-        .withColumn("bkt", col("bkt").cast("long"))
-        .withColumn("rows", lit(1L)))
-    val collected = cellSource
-      .groupBy(col("sink"), col("bkt"))
-      .agg(sum(col("bytes")).as("bytes"), sum(col("rows")).as("rows"))
-      .limit(maxVerdictCells + 1)
-      .collect()
-    require(collected.length <= maxVerdictCells,
-      s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
-        "bucket granularity is too fine for driver-side verdicts")
-    val cells = collected.map(r =>
-      RateLimit.Cell(r.getString(0), r.getLong(1), r.getString(0), r.getString(0),
-        r.getLong(2), r.getLong(3)))
+    val (cells, changed, stats) = try {
+      val cellSource = perConv.getOrElse(
+        spark.read.parquet(outDir)
+          .withColumn("bkt", col("bkt").cast("long"))
+          .withColumn("rows", lit(1L)))
+      val collected = cellSource
+        .groupBy(col("sink"), col("bkt"))
+        .agg(sum(col("bytes")).as("bytes"), sum(col("rows")).as("rows"))
+        .limit(maxVerdictCells + 1)
+        .collect()
+      require(collected.length <= maxVerdictCells,
+        s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
+          "bucket granularity is too fine for driver-side verdicts")
+      val cs = collected.map(r =>
+        RateLimit.Cell(r.getString(0), r.getLong(1), r.getString(0), r.getString(0),
+          r.getLong(2), r.getLong(3)))
 
-    RateLimit.runChain(cells, rules)
-    val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
+      RateLimit.runChain(cs, rules)
+      val ch = cs.filter(c => c.curSink == null || c.curSink != c.origSink)
 
-    // Exact per-FINAL-sink stats from the cached intermediate + the chain's
-    // decisions — computed BEFORE the directory moves so the cache can never
-    // fall back to recomputing from moved/deleted files.
-    val stats: Map[String, (Long, Long, Long)] = perConv match {
-      case None => Map.empty
-      case Some(pc) =>
-        import spark.implicits._
-        val effective = if (changed.isEmpty) pc else {
-          val decisions = changed.toSeq
-            .map(c => (c.origSink, c.bucketKey, Option(c.curSink)))
-            .toDF("d_sink", "d_bkt", "final_sink")
-          pc.join(broadcast(decisions),
-              pc("sink") === col("d_sink") && pc("bkt") === col("d_bkt"), "left")
-            .withColumn("sink",
-              when(col("d_sink").isNotNull, col("final_sink")).otherwise(col("sink")))
-            .filter(col("sink").isNotNull) // discarded buckets
-        }
-        val m = effective
-          .groupBy(col("sink"))
-          .agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes"),
-            countDistinct(col("conv_id")).as("convs"))
-          .collect()
-          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-          .toMap
-        pc.unpersist()
-        m
-    }
+      // Exact per-FINAL-sink stats from the cached intermediate + the chain's
+      // decisions — computed BEFORE the directory moves so the cache can never
+      // fall back to recomputing from moved/deleted files.
+      val st: Map[String, (Long, Long, Long)] = perConv match {
+        case None => Map.empty
+        case Some(pc) =>
+          import spark.implicits._
+          val effective = if (ch.isEmpty) pc else {
+            val decisions = ch.toSeq
+              .map(c => (c.origSink, c.bucketKey, Option(c.curSink)))
+              .toDF("d_sink", "d_bkt", "final_sink")
+            pc.join(broadcast(decisions),
+                pc("sink") === col("d_sink") && pc("bkt") === col("d_bkt"), "left")
+              .withColumn("sink",
+                when(col("d_sink").isNotNull, col("final_sink")).otherwise(col("sink")))
+              .filter(col("sink").isNotNull) // discarded buckets
+          }
+          effective
+            .groupBy(col("sink"))
+            .agg(sum(col("rows")).as("rows"), sum(col("bytes")).as("bytes"),
+              countDistinct(col("conv_id")).as("convs"))
+            .collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+            .toMap
+      }
+      (cs, ch, st)
+    } finally perConv.foreach(_.unpersist()) // never leak the cache on a throw
 
     // apply the decisions as directory moves/deletes
     var moved = 0

@@ -161,9 +161,19 @@ final class Manifest(root: String) {
   }
 
   /** The snapshot log as a DataFrame (time travel / audit: every commit ever
-    * made, in order — `<sink>.json` current pointers are its projection). */
-  def snapshots(spark: SparkSession): DataFrame =
-    spark.read.json(snapshotDir.toString)
+    * made, in order — `<sink>.json` current pointers are its projection).
+    * An empty log reads as an empty DataFrame with the record schema, like
+    * every sibling accessor (committedSinks/currentSnapshotId on a fresh
+    * root), not a PATH_NOT_FOUND error. */
+  def snapshots(spark: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "snapshot_id LONG, parent_id LONG, run_id STRING, sink STRING, " +
+        "op STRING, row_count LONG, bytes LONG, convs LONG, committed_ts STRING")
+    if (!Files.isDirectory(snapshotDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(snapshotDir.toString)
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.util.Fs.deleteRecursively(p)

@@ -58,7 +58,11 @@ final class MetricsHttp(root: String, port: Int) {
     graft.util.Fs.listDir(manifestDir)
       .filter(p => filter(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
-      .map(p => om.readTree(Files.readString(p)))
+      // a live scraper must not crash on a file another process is mid-write
+      // or left truncated by a crash — skip what doesn't parse, serve the rest
+      .flatMap(p =>
+        try Some(om.readTree(Files.readString(p)))
+        catch { case scala.util.control.NonFatal(_) => None })
   }
 
   /** Prometheus text exposition (version 0.0.4) over the same manifest cells

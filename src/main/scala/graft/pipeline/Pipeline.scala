@@ -134,7 +134,7 @@ object Pipeline {
         count(lit(1)).as("rows_in"),
         sum(when(col("targets") === array(lit(Router.DeadLetter)), 1L)
           .otherwise(0L)).as("rows_dead_letter"))
-    val fanned = targeted.withColumn("sink", explode_outer(col("targets"))).drop("targets")
+    val fanned = Router.explodeTargets(targeted)
 
     val manifest = new Manifest(outRoot)
     val already = manifest.committedSinks()
@@ -210,8 +210,15 @@ object Pipeline {
     val metricsJson = s"""{"run_id":"$runId","routed_rows":${m("routed_rows")},""" +
       s""""routed_bytes":${m("routed_bytes")},"sinks":${m("sinks")},""" +
       s""""stages":$stagesJson,"per_sink":$perSinkJson}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"), metricsJson)
+    // tmp + atomic move: the metrics HTTP sidecar may scrape this file at
+    // any moment, and a crash mid-write must not leave a truncated record
+    val metricsTmp = java.nio.file.Paths.get(outRoot, "_tmp", s"_metrics_$runId.json")
+    java.nio.file.Files.createDirectories(metricsTmp.getParent)
+    java.nio.file.Files.writeString(metricsTmp, metricsJson)
+    java.nio.file.Files.move(metricsTmp,
+      java.nio.file.Paths.get(outRoot, "_manifest", s"_metrics_$runId.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
     // drop the staging residue once every staged sink is committed
     if (stats.keySet.subsetOf(new Manifest(outRoot).committedSinks()))

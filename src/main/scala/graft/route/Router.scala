@@ -65,7 +65,13 @@ object Router {
     * expression (grok included) inlined into it — a per-row re-evaluation
     * the outer variant avoids. */
   def fanOut(parsed: DataFrame, rules: Seq[RouteRule] = defaultRules): DataFrame =
-    withTargets(parsed, rules)
+    explodeTargets(withTargets(parsed, rules))
+
+  /** The explode half of [[fanOut]], for callers that need to interpose on
+    * the targeted-but-not-yet-exploded frame (e.g. a per-stage observe()) —
+    * the explode_outer rationale above lives in exactly one place. */
+  def explodeTargets(targeted: DataFrame): DataFrame =
+    targeted
       .withColumn("sink", explode_outer(col("targets")))
       .drop("targets")
 }
