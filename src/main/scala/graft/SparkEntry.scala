@@ -309,7 +309,8 @@ object SparkEntry {
         .filter(col("quality_score") >= 300)
         .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("scrubbed"))
     }),
-    // multimodal plumbing: binary decode stub + typed features (rows-only)
+    // multimodal plumbing: REAL image/audio decode (JDK ImageIO + WAV RIFF
+    // parse), video stubbed — typed features (rows-only)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 300)).toDF()
         .select(col("asset_id"), col("kind"), col("ok"), col("checksum"))),

@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-batched form.
   *
-  * The decode/feature kernels are STUBBED (no image/audio libs in this
-  * container — see the builder prompt): [[FakeDecoder]] is a deterministic
-  * stand-in with the same signature a real decoder (JNI/FFM to libjpeg /
-  * ffmpeg on the executors) would have. Everything Spark-side — schema,
-  * partitioning, batch shape, columnar handoff — is real and tested.
+  * Decode status (round 3): IMAGE and AUDIO decode are REAL —
+  * [[ImageCodec]] rides the JDK's own `javax.imageio` (PNG/JPEG/BMP ship
+  * with `java.desktop`; headless) with a real area-average resample for the
+  * thumbnail embedding, and [[WavCodec]] parses PCM16 WAV RIFF chunks
+  * directly. Only VIDEO decode remains a declared stub ([[FakeDecoder]]) —
+  * it genuinely needs a native library (ffmpeg) absent from the JDK and
+  * this container; the stub keeps the exact signature a JNI/FFM kernel
+  * would have. Everything Spark-side — schema, partitioning, batch shape,
+  * columnar handoff — is real and tested either way.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so
   *  - the asset table keeps blobs out of the shuffle: transforms key on
@@ -20,7 +24,9 @@ import org.apache.spark.sql.types._
   *    custom-op preference order — genuinely imperative per-partition work),
   *    never collect();
   *  - `maxRecordsPerBatch`-style batching is modeled by the iterator shape:
-  *    one kernel call per row, state amortized per partition.
+  *    one kernel call per row, state amortized per partition;
+  *  - the thumbnail / loudness-envelope embeddings are Array[Float] columns
+  *    in the exact shape the ANN operators consume ([[graft.similarity.Ann]]).
   */
 object Multimodal {
 
@@ -34,42 +40,98 @@ object Multimodal {
     StructField("duration_ms", IntegerType, nullable = true)
   ))
 
-  /** Deterministic synthetic asset table (payload = seeded pseudo-bytes). */
+  /** Deterministic synthetic asset table. Image payloads are REAL PNG bytes
+    * (seeded gradient pattern), audio payloads are REAL PCM16 WAV bytes
+    * (seeded sine tone) — both decode through the real kernels below; video
+    * payloads are seeded pseudo-bytes for the declared stub. */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
-    val mt = Map("image" -> "image/jpeg", "audio" -> "audio/wav", "video" -> "video/mp4")
+    val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/mp4")
     (0 until n).map { i =>
       val kind = kinds(i % 3)
-      val len = 64 + (i * 37) % 192
-      val payload = Array.tabulate[Byte](len)(j => ((i * 131 + j * 17) % 256 - 128).toByte)
-      (i.toLong, kind, mt(kind), payload,
-        if (kind == "image") Some(64 + i % 512) else None,
-        if (kind == "image") Some(64 + (i * 3) % 512) else None,
-        if (kind != "image") Some(1000 + (i * 97) % 60000) else None)
+      val (payload, w, h, dur) = kind match {
+        case "image" =>
+          val iw = 24 + i % 40
+          val ih = 16 + (i * 3) % 32
+          (ImageCodec.encodePng(iw, ih, i.toLong), Some(iw), Some(ih), None)
+        case "audio" =>
+          val ms = 40 + (i * 7) % 160
+          val tone = WavCodec.sineTone(8000, ms, 200.0 + i % 800)
+          (WavCodec.encodePcm16(8000, tone), None, None, Some(ms))
+        case _ =>
+          val len = 64 + (i * 37) % 192
+          (Array.tabulate[Byte](len)(j => ((i * 131 + j * 17) % 256 - 128).toByte),
+            None, None, Some(1000 + (i * 97) % 60000))
+      }
+      (i.toLong, kind, mt(kind), payload, w, h, dur)
     }.toDF("asset_id", "kind", "media_type", "payload", "width", "height", "duration_ms")
   }
 
-  /** Stand-in decode kernel: deterministic features from the payload bytes.
-    * A real build replaces the body (marked) and nothing else changes. */
+  final case class Features(ok: Boolean, featDim: Int, checksum: Long,
+      brightness: Double, embedding: Array[Float])
+
+  /** Stand-in VIDEO decode kernel: deterministic features from the payload
+    * bytes. A real build replaces the body (marked) and nothing else changes. */
   object FakeDecoder {
-    final case class Features(ok: Boolean, featDim: Int, checksum: Long, brightness: Double)
     def decode(kind: String, payload: Array[Byte]): Features = {
-      // >>> STUB: replace with libjpeg/ffmpeg decode + model features <<<
+      // >>> STUB: replace with an ffmpeg (JNI/FFM) decode + model features <<<
       var cs = 1469598103934665603L
       var sum = 0L
       payload.foreach { b => cs = (cs ^ b) * 1099511628211L; sum += (b & 0xff) }
-      Features(ok = payload.nonEmpty, featDim = 8,
-        checksum = cs, brightness = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length)
+      Features(ok = payload.nonEmpty, featDim = 8, checksum = cs,
+        brightness = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
+        embedding = Array.fill(8)(if (payload.isEmpty) 0f else (sum % 255).toFloat / 255))
     }
     /** Frame-sample stub: deterministic frame offsets for a video payload. */
     def sampleFrames(durationMs: Int, everyMs: Int): Seq[Int] =
       (0 until durationMs by everyMs).toSeq
   }
 
+  /** Per-kind decode dispatch: REAL image (JDK ImageIO + area-average
+    * thumbnail) and audio (PCM16 WAV + loudness envelope); video → stub. */
+  object Decoders {
+    val ImageThumb = 8 // 8×8 grayscale thumbnail → 64-dim embedding
+    val AudioDim = 16 // windowed-RMS loudness envelope
+
+    private def fnv(acc: Long, v: Int): Long = (acc ^ (v & 0xffffffffL)) * 1099511628211L
+
+    def decode(kind: String, payload: Array[Byte]): Features = kind match {
+      case "image" =>
+        ImageCodec.decode(payload) match {
+          case Some(img) =>
+            // checksum over DECODED pixels (not file bytes): proves decode
+            var cs = 1469598103934665603L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { cs = fnv(cs, img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            Features(ok = true, featDim = ImageThumb * ImageThumb, checksum = cs,
+              brightness = ImageCodec.brightness(img),
+              embedding = ImageCodec.grayThumb(img, ImageThumb, ImageThumb))
+          case None =>
+            Features(ok = false, 0, 0L, 0.0, Array.empty)
+        }
+      case "audio" =>
+        WavCodec.decodePcm16(payload) match {
+          case Some(wav) =>
+            var cs = 1469598103934665603L
+            wav.samples.foreach(s => cs = fnv(cs, s.toInt))
+            Features(ok = true, featDim = AudioDim, checksum = cs,
+              brightness = WavCodec.rms(wav.samples), // loudness in [0,1]
+              embedding = WavCodec.rmsProfile(wav.samples, AudioDim))
+          case None =>
+            Features(ok = false, 0, 0L, 0.0, Array.empty)
+        }
+      case _ => FakeDecoder.decode(kind, payload)
+    }
+  }
+
   final case class AssetFeatures(
       asset_id: Long, kind: String, ok: Boolean,
-      feat_dim: Int, checksum: Long, brightness: Double)
+      feat_dim: Int, checksum: Long, brightness: Double, embedding: Array[Float])
 
   /** Partition-batched decode: binary in, typed features out. */
   def extractFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
@@ -81,8 +143,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition kernel state would be initialized here (decoder ctx)
         it.map { case (id, kind, payload) =>
-          val f = FakeDecoder.decode(kind, payload)
-          AssetFeatures(id, kind, f.ok, f.featDim, f.checksum, f.brightness)
+          val f = Decoders.decode(kind, payload)
+          AssetFeatures(id, kind, f.ok, f.featDim, f.checksum, f.brightness, f.embedding)
         }
       }
   }

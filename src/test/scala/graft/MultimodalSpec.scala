@@ -19,7 +19,40 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 50))
     assert(feats.count() === 50)
     assert(feats.filter(!col("ok")).count() === 0)
-    assert(feats.select("feat_dim").distinct().collect().map(_.getInt(0)).toSeq === Seq(8))
+    // real per-kind decode: 8x8 gray thumbnail, 16-window loudness envelope,
+    // 8-dim video stub
+    val dims = feats.toDF().groupBy("kind").agg(collect_set("feat_dim").as("d"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSet).toMap
+    assert(dims === Map("image" -> Set(64), "audio" -> Set(16), "video" -> Set(8)))
+  }
+
+  test("image decode is real: PNG roundtrip is pixel-exact and thumbnail is in range") {
+    import graft.multimodal.ImageCodec
+    val png = ImageCodec.encodePng(37, 23, seed = 42L)
+    val img = ImageCodec.decode(png).get
+    assert(img.getWidth === 37 && img.getHeight === 23)
+    // PNG is lossless: re-encoding the decoded image must reproduce identical pixels
+    val again = ImageCodec.decode(ImageCodec.encodePng(37, 23, seed = 42L)).get
+    assert((0 until 23).forall(y => (0 until 37).forall(x =>
+      (img.getRGB(x, y) & 0xffffff) === (again.getRGB(x, y) & 0xffffff))))
+    val b = ImageCodec.brightness(img)
+    assert(b > 0.0 && b < 255.0)
+    val thumb = ImageCodec.grayThumb(img, 8, 8)
+    assert(thumb.length === 64 && thumb.forall(v => v >= 0f && v <= 1f))
+    // garbage bytes are rejected, not crashed on
+    assert(ImageCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("audio decode is real: WAV roundtrip is sample-exact and RMS matches the sine") {
+    import graft.multimodal.WavCodec
+    val tone = WavCodec.sineTone(8000, ms = 100, freqHz = 440.0, amp = 0.5)
+    val wav = WavCodec.decodePcm16(WavCodec.encodePcm16(8000, tone)).get
+    assert(wav.sampleRate === 8000 && wav.channels === 1)
+    assert(wav.samples.toSeq === tone.toSeq)
+    // RMS of a 0.5-amplitude sine is 0.5 / sqrt(2) ~= 0.3536
+    assert(math.abs(WavCodec.rms(wav.samples) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(WavCodec.rmsProfile(wav.samples, 16).length === 16)
+    assert(WavCodec.decodePcm16("not a wav at all".getBytes("UTF-8")).isEmpty)
   }
 
   test("video frame sampling yields ceil(duration/every) frames per video") {
