@@ -317,7 +317,20 @@ object SparkEntry {
     // video frame sampling over binary assets (rows-only)
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.syntheticAssets(s, 300), everyMs = 5000)
-        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames")))
+        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))),
+    // perceptual near-dup over DECODED media: thumbnail / loudness-envelope
+    // embeddings through the cosine-LSH band join (rows-only — DuckDB has no
+    // PNG/WAV decoder; MultimodalSpec proves subset-of-exact + planted recall)
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDupPairs(
+          Multimodal.syntheticAssets(s, 300, dupCycle = 25), "image", threshold = 0.999)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cos") * lit(10000)).cast("long").as("cos_bp"))),
+    "q_audio_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDupPairs(
+          Multimodal.syntheticAssets(s, 300, dupCycle = 25), "audio", threshold = 0.999)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cos") * lit(10000)).cast("long").as("cos_bp")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

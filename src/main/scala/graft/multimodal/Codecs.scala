@@ -126,6 +126,20 @@ object WavCodec {
       (math.sin(2 * math.Pi * freqHz * i / sampleRate) * amp * Short.MaxValue).toShort)
   }
 
+  /** Amplitude-modulated sine: a seeded loudness envelope over the carrier,
+    * giving each clip a distinctive windowed-RMS profile (a pure tone's
+    * envelope is flat, which would make every clip embed identically). */
+  def amTone(sampleRate: Int, ms: Int, freqHz: Double, seed: Long): Array[Short] = {
+    val n = sampleRate * ms / 1000
+    val envF = 3.0 + (seed % 7) // envelope cycles per clip
+    val phase = (seed % 13) * 0.483
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / math.max(1, n)
+      val amp = 0.30 + 0.20 * math.sin(2 * math.Pi * envF * t + phase)
+      (math.sin(2 * math.Pi * freqHz * i / sampleRate) * amp * Short.MaxValue).toShort
+    }
+  }
+
   final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short]) {
     def durationMs: Int = (samples.length.toLong * 1000 / (sampleRate.toLong * channels)).toInt
   }

@@ -43,26 +43,34 @@ object Multimodal {
   /** Deterministic synthetic asset table. Image payloads are REAL PNG bytes
     * (seeded gradient pattern), audio payloads are REAL PCM16 WAV bytes
     * (seeded sine tone) — both decode through the real kernels below; video
-    * payloads are seeded pseudo-bytes for the declared stub. */
-  def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
+    * payloads are seeded pseudo-bytes for the declared stub.
+    *
+    * `dupCycle > 0` makes the image/audio generator parameters cycle with
+    * that period over each kind's ordinal, planting exact duplicate media
+    * (byte-identical payloads under distinct asset_ids) — the fixture for
+    * the perceptual near-dup operators. */
+  def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/mp4")
     (0 until n).map { i =>
       val kind = kinds(i % 3)
+      // generator index: the asset's kind-ordinal folded by dupCycle (i when
+      // dupCycle=0 — keeps the pre-existing fixtures byte-stable)
+      val g = if (dupCycle > 0) (i / 3) % dupCycle * 3 + i % 3 else i
       val (payload, w, h, dur) = kind match {
         case "image" =>
-          val iw = 24 + i % 40
-          val ih = 16 + (i * 3) % 32
-          (ImageCodec.encodePng(iw, ih, i.toLong), Some(iw), Some(ih), None)
+          val iw = 24 + g % 40
+          val ih = 16 + (g * 3) % 32
+          (ImageCodec.encodePng(iw, ih, g.toLong), Some(iw), Some(ih), None)
         case "audio" =>
-          val ms = 40 + (i * 7) % 160
-          val tone = WavCodec.sineTone(8000, ms, 200.0 + i % 800)
+          val ms = 40 + (g * 7) % 160
+          val tone = WavCodec.amTone(8000, ms, 200.0 + g % 800, g.toLong)
           (WavCodec.encodePcm16(8000, tone), None, None, Some(ms))
         case _ =>
-          val len = 64 + (i * 37) % 192
-          (Array.tabulate[Byte](len)(j => ((i * 131 + j * 17) % 256 - 128).toByte),
-            None, None, Some(1000 + (i * 97) % 60000))
+          val len = 64 + (g * 37) % 192
+          (Array.tabulate[Byte](len)(j => ((g * 131 + j * 17) % 256 - 128).toByte),
+            None, None, Some(1000 + (g * 97) % 60000))
       }
       (i.toLong, kind, mt(kind), payload, w, h, dur)
     }.toDF("asset_id", "kind", "media_type", "payload", "width", "height", "duration_ms")
@@ -147,6 +155,25 @@ object Multimodal {
           AssetFeatures(id, kind, f.ok, f.featDim, f.checksum, f.brightness, f.embedding)
         }
       }
+  }
+
+  /** Perceptual media near-duplicate pairs: decode → fixed-width embedding
+    * (8×8 gray thumbnail for images, 16-window loudness envelope for audio)
+    * → the embedding-cosine near-dup machinery from
+    * [[graft.similarity.Ann]].
+    *
+    * Scale shape: blobs are decoded exactly once inside the mapPartitions
+    * kernel and never enter a shuffle — only (asset_id, ≤64 floats) flows
+    * into the LSH band join. `exact = true` switches to the all-pairs
+    * baseline (small-scale recall measurement duty, same contract as
+    * `Ann.exactNearDupPairs`). */
+  def mediaNearDupPairs(assets: DataFrame, kind: String, threshold: Double = 0.98,
+      exact: Boolean = false): DataFrame = {
+    val emb = extractFeatures(assets.filter(col("kind") === kind)).toDF()
+      .filter(col("ok"))
+      .select(col("asset_id").as("vec_id"), col("embedding"))
+    if (exact) graft.similarity.Ann.exactNearDupPairs(emb, threshold)
+    else graft.similarity.Ann.cosineNearDupPairs(emb, threshold)
   }
 
   /** Video frame sampling: one row per sampled frame offset. */

@@ -55,6 +55,33 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodePcm16("not a wav at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("perceptual near-dup finds every planted duplicate; LSH path is a subset of exact") {
+    // 90 assets, dupCycle=10: 30 images = 10 distinct contents x 3 byte-identical
+    // replicas (same for audio) -> C(3,2)*10 = 30 planted pairs per kind
+    val assets = Multimodal.syntheticAssets(spark, 90, dupCycle = 10)
+    for (kind <- Seq("image", "audio")) {
+      val exact = Multimodal.mediaNearDupPairs(assets, kind, threshold = 0.9999, exact = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Multimodal.mediaNearDupPairs(assets, kind, threshold = 0.9999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // planted: asset ids of the same kind whose kind-ordinal is congruent mod 10
+      val kindOff = Seq("image", "audio", "video").indexOf(kind)
+      val ids = (0 until 90).filter(_ % 3 == kindOff).map(_.toLong)
+      val planted = (for {
+        a <- ids; b <- ids
+        if a < b && ((a - kindOff) / 3) % 10 === ((b - kindOff) / 3) % 10
+      } yield (a, b)).toSet
+      assert(planted.size === 30)
+      assert(planted.subsetOf(exact), s"$kind: exact path missed a byte-identical pair")
+      // identical embeddings share every LSH band, so planted pairs can't be missed
+      assert(planted.subsetOf(lsh), s"$kind: LSH path missed an identical pair")
+      assert(lsh.subsetOf(exact), s"$kind: LSH emitted a pair the exact path rejects")
+      // discriminative: distinct contents do NOT all collapse above the threshold
+      val allPairs = ids.size.toLong * (ids.size - 1) / 2
+      assert(exact.size < allPairs, s"$kind: embedding is degenerate (all pairs matched)")
+    }
+  }
+
   test("video frame sampling yields ceil(duration/every) frames per video") {
     val assets = Multimodal.syntheticAssets(spark, 60)
     val frames = Multimodal.sampleVideoFrames(assets, everyMs = 5000)
