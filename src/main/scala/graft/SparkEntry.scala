@@ -289,6 +289,22 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("dup_token_bp"), col("dup_line_bp"))),
+    // corpus-frequency unit stripping (C4 boilerplate removal family).
+    // Word mode here — the fixture has no line structure; line mode (the
+    // cookie-banner case) is proven on handcrafted docs in TextAnalysisSpec
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.stripFrequentUnits(
+        s.read.parquet(s"$dir/documents.parquet"), minDf = 390, sep = " ")),
+    // deterministic stratified downsampling to a target language mix
+    // (md5-bucket verdicts — same kept set on any engine/cluster/rerun)
+    "q_mix_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lang_guess", TextAnalysis.langGuess(col("text")))
+      TextAnalysis.stratifiedSample(docs, "lang_guess",
+          Map("en" -> 0.5, "und" -> 0.25), defaultRate = 1.0, salt = "mix")
+        .select(col("doc_id"), col("lang_guess"),
+          TextAnalysis.hashBucket(col("doc_id"), "mix").as("bucket"))
+    }),
     // corpus-wide n-gram frequency (top bigrams, deterministic tie-break) —
     // the heavy explode+aggregate shape a contamination/boilerplate scan runs
     // at corpus scale; map-side combine keeps the shuffle at distinct-ngram
@@ -628,6 +644,48 @@ object SparkEntry {
                 ELSE cast(floor((1.0 - cast(len(list_distinct(lns)) AS double)
                                   / len(lns)) * 10000) AS bigint) END AS dup_line_bp
          FROM t""",
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+         units AS (
+           SELECT doc_id, unnest(ls) AS unit, unnest(range(1, len(ls) + 1)) AS pos
+           FROM t),
+         hot AS (
+           SELECT u FROM (
+             SELECT DISTINCT doc_id, trim(unit) AS u FROM units WHERE trim(unit) <> '')
+           GROUP BY u HAVING count(*) >= 390)
+         SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text
+         FROM units
+         WHERE trim(unit) NOT IN (SELECT u FROM hot)
+         GROUP BY doc_id""",
+    "q_mix_sample" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','es'])) AS s_es,
+             len(list_intersect(toks, ['der','die','und','ist','das'])) AS s_de,
+             len(list_intersect(toks, ['le','la','et','est','les'])) AS s_fr,
+             len(list_intersect(toks, ['的','是','了','在','我'])) AS s_zh
+           FROM t),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_guess
+           FROM s)
+         SELECT doc_id, lang_guess,
+           substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) AS bucket
+         FROM lang
+         WHERE CASE lang_guess
+                 WHEN 'en' THEN substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) < '8000'
+                 WHEN 'und' THEN substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) < '4000'
+                 ELSE true END""",
     "q_top_ngrams" ->
       """WITH w AS (
            SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words

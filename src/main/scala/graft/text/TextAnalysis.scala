@@ -133,6 +133,73 @@ object TextAnalysis {
     when(hashBucket(key, salt) < lit(validHexThreshold), lit("valid"))
       .otherwise(lit("train"))
 
+  /** Deterministic stratified downsampling to a target corpus mix: each
+    * stratum (language, domain, source…) keeps documents whose portable md5
+    * hash bucket ([[hashBucket]]) falls below the stratum's rate threshold
+    * (rate × 65536, rendered as the 4-hex-char exclusive upper bound).
+    * Strata absent from `rates` use `defaultRate`.
+    *
+    * No RNG state, no shuffle, no `sampleBy` seed drift: the verdict is a
+    * pure projection of (key, stratum), so the kept set is identical on any
+    * engine, cluster size or rerun, and stable under incremental
+    * re-ingestion — a document's verdict never changes when its neighbors
+    * do. This is the standard rebalancing step for a web corpus's
+    * language/domain mix. `stratumCol` must already exist (compute it
+    * upstream — keeps an expensive classifier out of the filter
+    * expression). */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix", keyCol: String = "doc_id"): DataFrame = {
+    require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
+    val bucket = hashBucket(col(keyCol), salt)
+    def keepFor(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else if (rate <= 0.0) lit(false)
+      else bucket < lit(f"${math.round(rate * 65536)}%04x")
+    val ordered = rates.toSeq.sortBy(_._1)
+    val chain = ordered.tail.foldLeft(
+      when(col(stratumCol) === ordered.head._1, keepFor(ordered.head._2))) {
+      case (c, (s, r)) => c.when(col(stratumCol) === s, keepFor(r))
+    }
+    docs.filter(chain.otherwise(keepFor(defaultRate)))
+  }
+
+  // -- corpus-frequency unit stripping ---------------------------------------
+
+  /** Corpus-frequency unit stripping — one operator, two classic curation
+    * modes by separator:
+    *  - `sep = "\n"`: C4-style boilerplate LINE removal — any trimmed
+    *    non-empty line occurring in ≥ `minDf` distinct documents (cookie
+    *    banners, nav bars, license headers) is stripped from every document;
+    *  - `sep = " "`: document-frequency stopword stripping (index building,
+    *    rare-token analysis).
+    * Documents are rebuilt from their surviving units in original order; a
+    * document whose every unit was hot disappears (C4 drops emptied docs the
+    * same way).
+    *
+    * Shape: posexplode → distinct-per-doc df aggregation (map-side combined;
+    * the shuffle carries (unit, doc_id), never documents) → broadcast
+    * anti-join against the hot set (corpus-wide frequent units are FEW by
+    * construction) → per-doc ordered reassembly keyed by doc_id. At 100 TB
+    * the unit key would be xxhash64(unit) (8 bytes); the string key is kept
+    * so DuckDB twins the pipeline exactly. */
+  def stripFrequentUnits(docs: DataFrame, minDf: Int, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val units = docs.select(col(idCol).as("doc_id"),
+      posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "unit")))
+    val hot = units.filter(trim(col("unit")) =!= "")
+      .select(col("doc_id"), trim(col("unit")).as("u")).distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("u"))
+    units.join(broadcast(hot), trim(units("unit")) === hot("u"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x.getField("unit")), sep).as("clean_text"))
+  }
+
   // -- train/valid contamination scan ---------------------------------------
 
   /** Split-leakage (contamination) scan: pairs of (train doc, valid doc)

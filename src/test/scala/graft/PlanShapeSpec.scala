@@ -39,6 +39,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical.contains("SortMergeJoin"))
   }
 
+  test("stratified sampling is a pure filter: zero exchanges in the plan") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "und"))
+      .toDF("doc_id", "lang")
+    val sampled = graft.text.TextAnalysis.stratifiedSample(
+      docs, "lang", Map("en" -> 0.5), defaultRate = 0.25)
+    val physical = sampled.queryExecution.executedPlan.treeString
+    assert(!physical.contains("Exchange"),
+      s"mix sampling must not shuffle: $physical")
+  }
+
+  test("boilerplate stripping anti-joins the hot set via broadcast, never sort-merge") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cleaned = graft.text.TextAnalysis.stripFrequentUnits(docs, minDf = 30, sep = " ")
+    val physical = cleaned.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      physical.take(2000))
+    assert(!physical.contains("SortMergeJoin"), physical.take(2000))
+  }
+
   test("column pruning + filter pushdown reach the parquet scan") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("event_type") === "error")

@@ -122,6 +122,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((trainA, validId, 1L)), s"got ${got.toSeq}")
   }
 
+  test("boilerplate line removal: planted banner stripped everywhere, order kept, emptied doc dropped") {
+    val banner = "Accept cookies to continue"
+    val docs = Seq(
+      (1L, s"intro\n$banner\nbody one"),
+      (2L, s"$banner\nbody two\noutro"),
+      (3L, s"body three\n  $banner  "), // trailing spaces: trim-matched
+      (4L, banner), // nothing but the banner -> dropped
+      (5L, "no banner here\nat all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripFrequentUnits(docs, minDf = 3, sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "intro\nbody one",
+      2L -> "body two\noutro",
+      3L -> "body three",
+      5L -> "no banner here\nat all"))
+    // below the df threshold (banner df = 4) nothing is stripped
+    val none = TextAnalysis.stripFrequentUnits(docs, minDf = 5, sep = "\n")
+    assert(none.count() === 5)
+  }
+
+  test("stratified sampling: rate extremes, md5-threshold membership, stratum independence") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "und"))
+      .toDF("doc_id", "lang")
+    def ids(rates: Map[String, Double], default: Double = 1.0): Set[Long] =
+      TextAnalysis.stratifiedSample(docs, "lang", rates, default)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map("en" -> 1.0, "und" -> 1.0)).size === 200)
+    assert(ids(Map("en" -> 0.0, "und" -> 0.0)).size === 0)
+    // en halved by the md5 bucket, und untouched; kept set = manual recompute
+    val kept = ids(Map("en" -> 0.5))
+    val expected = (0L until 200L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      i % 2 == 1 || md.substring(0, 4) < "8000"
+    }.toSet
+    assert(kept === expected)
+    // verdicts are per-doc: dropping other docs never changes membership
+    val subsetKept = TextAnalysis.stratifiedSample(
+      docs.filter(col("doc_id") < 50), "lang", Map("en" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subsetKept === kept.filter(_ < 50))
+  }
+
   test("domain counts: handcrafted URLs aggregate per domain") {
     val docs = Seq(
       (1L, "see https://a.example.com/x and http://b.org/y"),
