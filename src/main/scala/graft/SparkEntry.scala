@@ -289,6 +289,13 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("dup_token_bp"), col("dup_line_bp"))),
+    // substring-level duplication (fixed-granularity suffix-array dedup
+    // signal): tokens covered by any cross-doc duplicated 4-gram
+    "q_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(
+          s.read.parquet(s"$dir/documents.parquet"), w = 4)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("dup_span_bp"))),
     // corpus-frequency unit stripping (C4 boilerplate removal family).
     // Word mode here — the fixture has no line structure; line mode (the
     // cookie-banner case) is proven on handcrafted docs in TextAnalysisSpec
@@ -644,6 +651,40 @@ object SparkEntry {
                 ELSE cast(floor((1.0 - cast(len(list_distinct(lns)) AS double)
                                   / len(lns)) * 10000) AS bigint) END AS dup_line_bp
          FROM t""",
+    "q_dup_spans" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(words) AS n_tokens,
+             CASE WHEN len(words) = 0 THEN ['']
+                  WHEN len(words) < 4 THEN [array_to_string(words, ' ')]
+                  ELSE list_transform(range(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+3], ' '))
+             END AS sh
+           FROM w),
+         grams AS (
+           SELECT doc_id, n_tokens, unnest(sh) AS gram,
+             unnest(range(0, len(sh))) AS pos
+           FROM g),
+         dup AS (
+           SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+           GROUP BY gram HAVING count(*) >= 2),
+         spans AS (
+           SELECT doc_id, n_tokens, pos, unnest(range(0, 4)) AS off
+           FROM grams WHERE gram IN (SELECT gram FROM dup)),
+         cov AS (
+           SELECT doc_id, count(DISTINCT pos + off) AS dup_tokens
+           FROM spans WHERE pos + off < n_tokens
+           GROUP BY doc_id)
+         SELECT w.doc_id,
+           cast(len(w.words) AS int) AS n_tokens,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN len(w.words) = 0 THEN 0
+                ELSE cast(floor(cast(coalesce(cov.dup_tokens, 0) AS double)
+                                 / len(w.words) * 10000) AS bigint) END AS dup_span_bp
+         FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id""",
     "q_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
          units AS (

@@ -200,6 +200,48 @@ object TextAnalysis {
           x => x.getField("unit")), sep).as("clean_text"))
   }
 
+  // -- substring-level duplication ------------------------------------------
+
+  /** Substring-level duplication measure — the fixed-granularity form of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a w-word gram occurring in ≥ 2
+    * DISTINCT documents marks every token position it covers as duplicated;
+    * per document the output is the exact count and basis-point fraction of
+    * duplicated positions — the signal used to cut repeated spans (licenses,
+    * templates, mirrored passages) out of a corpus. Within-document
+    * repetition alone does NOT mark (df is over distinct docs; that signal
+    * is [[repetitionFeatures]]).
+    *
+    * Shape: pos-indexed gram explode → distinct-per-doc df agg → equi-join
+    * back on the gram → span explode (w rows per hit) → per-doc distinct
+    * position count. Shuffles carry (gram, doc_id) and (doc_id, pos) pairs,
+    * never text. At 100 TB the gram key would be xxhash64 (8 bytes); the
+    * string key is kept so DuckDB twins the pipeline exactly. */
+  def duplicatedSpans(docs: DataFrame, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      posexplode_outer(graft.dedup.MinHashLSH.shingles(col(textCol), w))
+        .as(Seq("pos", "gram")))
+    val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tok"))
+      .filter(col("tok") < col("n_tokens")) // short-doc gram covers n_tokens only
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_span_bp",
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          floor(col("dup_tokens").cast("double") / col("n_tokens") * 10000)
+            .cast("long")))
+  }
+
   // -- train/valid contamination scan ---------------------------------------
 
   /** Split-leakage (contamination) scan: pairs of (train doc, valid doc)

@@ -122,6 +122,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((trainA, validId, 1L)), s"got ${got.toSeq}")
   }
 
+  test("duplicated spans: cross-doc 4-gram marks its positions, within-doc repetition does not") {
+    val docs = Seq(
+      (1L, "one two three four five six"),        // shares gram at pos 0 with doc 2
+      (2L, "zzz one two three four qqq"),         // gram at pos 1 -> tokens 1..4
+      (3L, "rep rep rep rep rep rep rep rep"),    // within-doc repeats only: df = 1
+      (4L, ""),                                   // empty
+      (5L, "tiny doc"),                           // short-doc gram = whole text,
+      (6L, "tiny doc")                            // shared -> fully duplicated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(docs, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((6, 4L, 6666L)))
+    assert(out(2L) === ((6, 4L, 6666L)))
+    assert(out(3L) === ((8, 0L, 0L)), "within-doc repetition must not mark spans")
+    assert(out(4L) === ((0, 0L, 0L)))
+    assert(out(5L) === ((2, 2L, 10000L)))
+    assert(out(6L) === ((2, 2L, 10000L)))
+  }
+
   test("boilerplate line removal: planted banner stripped everywhere, order kept, emptied doc dropped") {
     val banner = "Accept cookies to continue"
     val docs = Seq(
