@@ -263,6 +263,10 @@ object SparkEntry {
     "q_pack" -> ((s, dir) =>
       TextAnalysis.packs(s.read.parquet(s"$dir/documents.parquet"),
         maxTokens = 256, nShards = 8)),
+    // deterministic export shuffle: md5-ordered per-shard training order
+    "q_export_order" -> ((s, dir) =>
+      TextAnalysis.exportOrder(s.read.parquet(s"$dir/documents.parquet"),
+        nShards = 8)),
     // Unicode NFC canonicalization (custom codegen kernel; DuckDB twin)
     "q_normalize" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
@@ -578,6 +582,13 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
              AS bigint) AS pack_id
          FROM t""",
+    "q_export_order" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+         cast(row_number() OVER (
+           PARTITION BY doc_id % 8
+           ORDER BY md5('order' || cast(doc_id AS varchar)), doc_id) - 1
+           AS bigint) AS ord
+         FROM documents""",
     "q_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS normalized FROM documents""",
     "q_contamination" ->

@@ -273,6 +273,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Deterministic training-export order — the "shuffle once, globally,
+    * reproducibly" step between curation and [[packs]]: every document gets
+    * a shard (loader workers read disjoint shards) and a position within it,
+    * ordered by the portable md5 key so the interleave is pseudo-random
+    * w.r.t. ingestion order yet identical on any engine, cluster size or
+    * rerun (doc_id breaks md5 ties, so the order is total). The window is
+    * per shard — parallelism = nShards, no global sort, same scale shape as
+    * packing. */
+  def exportOrder(docs: DataFrame, nShards: Int = 8, salt: String = "order",
+      keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val okey = md5(concat(lit(salt), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(okey, col(keyCol))
+    docs
+      .withColumn("shard", pmod(col(keyCol), lit(nShards)))
+      .withColumn("ord", (row_number().over(w) - 1).cast("long"))
+      .select(col(keyCol), col("shard"), col("ord"))
+  }
+
   // -- sequence packing ------------------------------------------------------
 
   /** Concat-and-chunk sequence packing: per shard, documents are laid out in

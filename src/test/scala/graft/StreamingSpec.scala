@@ -66,6 +66,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("conv-99999", 0)), "the genuinely new row must pass")
   }
 
+  test("stateless curation chain composes onto a stream and equals the batch result") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.text.TextAnalysis
+    val dir = Files.createTempDirectory("graft-scur").toString
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 3 == 0) s"the quick fox $i is on the mat mail@example.com"
+          else s"xyzzy plugh $i quux")
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+
+    // langGuess -> stratified mix sample -> PII scrub: all stateless, so the
+    // SAME code runs on a stream unmodified (the point of the declarative
+    // operator surface)
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.stratifiedSample(
+          df.withColumn("lang", TextAnalysis.langGuess(col("text"))),
+          "lang", Map("en" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), TextAnalysis.scrub(col("text")).as("clean"))
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = curate(stream).writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("scur_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("scur_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = curate(spark.read.parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.size < 200, "sampling must bite")
+    assert(streamed.forall(!_._3.contains("@")), "scrub must run on the stream")
+  }
+
   test("typed sources: dummy/parquet round-trip and union merge") {
     val dir = Files.createTempDirectory("graft-src").toString
     val d = TurnSources.dummy(spark, 10, 4)

@@ -122,6 +122,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((trainA, validId, 1L)), s"got ${got.toSeq}")
   }
 
+  test("export order: per-shard permutation, deterministic, decorrelated from id order") {
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.exportOrder(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (id, shard, _) => shard === id % 4 })
+    // each shard's ord is exactly 0..n-1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // pseudo-random: the md5 interleave must not equal plain id order
+    val shard0 = out.filter(_._2 === 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted)
+    // deterministic across invocations
+    val again = TextAnalysis.exportOrder(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === again.toSet)
+  }
+
   test("duplicated spans: cross-doc 4-gram marks its positions, within-doc repetition does not") {
     val docs = Seq(
       (1L, "one two three four five six"),        // shares gram at pos 0 with doc 2
