@@ -293,6 +293,13 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("dup_token_bp"), col("dup_line_bp"))),
+    // the FULL curation DAG in one declarative plan: dedup -> quality gate
+    // -> lang ID -> mix sample -> scrub -> split -> export shuffle ->
+    // per-split packing in export order (every stage's oracle composed into
+    // one end-to-end DuckDB twin)
+    "q_curation_full" -> ((s, dir) =>
+      graft.text.Curation.run(s.read.parquet(s"$dir/documents.parquet"),
+        graft.text.Curation.Config(maxTokens = 256))),
     // substring-level duplication (fixed-granularity suffix-array dedup
     // signal): tokens covered by any cross-doc duplicated 4-gram
     "q_dup_spans" -> ((s, dir) =>
@@ -662,6 +669,72 @@ object SparkEntry {
                 ELSE cast(floor((1.0 - cast(len(list_distinct(lns)) AS double)
                                   / len(lns)) * 10000) AS bigint) END AS dup_line_bp
          FROM t""",
+    "q_curation_full" ->
+      """WITH dd AS (
+           SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM documents),
+         q AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt,
+             len(list_intersect(
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+               ['the','a','of','and','to','in','is'])) AS sw
+           FROM dd WHERE rn = 1),
+         g AS (
+           SELECT doc_id, text, toks FROM q
+           WHERE cast(floor(cast(least(nt, 200) AS double) / 200 * 500
+                          + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) >= 300),
+         sc AS (
+           SELECT doc_id, text,
+             len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','es'])) AS s_es,
+             len(list_intersect(toks, ['der','die','und','ist','das'])) AS s_de,
+             len(list_intersect(toks, ['le','la','et','est','les'])) AS s_fr,
+             len(list_intersect(toks, ['的','是','了','在','我'])) AS s_zh
+           FROM g),
+         l AS (
+           SELECT doc_id, text,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang
+           FROM sc),
+         samp AS (
+           SELECT doc_id, text, lang FROM l
+           WHERE CASE lang
+                   WHEN 'en' THEN substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) < '8000'
+                   WHEN 'und' THEN substr(md5('mix' || cast(doc_id AS varchar)), 1, 4) < '4000'
+                   ELSE true END),
+         base AS (
+           SELECT doc_id, lang,
+             CASE WHEN substr(md5('split' || cast(doc_id AS varchar)), 1, 4) < '2000'
+                  THEN 'valid' ELSE 'train' END AS split,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+           FROM samp),
+         o AS (
+           SELECT doc_id, lang, split, clean_text, doc_id % 8 AS shard,
+             cast(row_number() OVER (
+               PARTITION BY doc_id % 8
+               ORDER BY md5('order' || cast(doc_id AS varchar)), doc_id) - 1
+               AS bigint) AS ord,
+             len(list_filter(string_split_regex(clean_text, '\s+'), t -> t <> '')) AS ntc
+           FROM base)
+         SELECT doc_id, lang, split, shard, ord,
+           cast(floor(coalesce(sum(ntc) OVER (
+             PARTITION BY split, shard ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS bigint) AS pack_id,
+           cast(ntc AS int) AS n_tokens, clean_text
+         FROM o""",
     "q_dup_spans" ->
       """WITH w AS (
            SELECT doc_id,

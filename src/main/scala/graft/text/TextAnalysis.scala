@@ -305,9 +305,13 @@ object TextAnalysis {
     * matching how real packing runs (each loader worker packs its own shard).
     */
   def packs(docs: DataFrame, maxTokens: Int = 2048, nShards: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      orderCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // layout order within the shard: id order by default; an explicit column
+    // (e.g. exportOrder's `ord`) when the loader consumes a shuffled order
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderCol.map(col).getOrElse(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("shard", pmod(col(idCol), lit(nShards)))
