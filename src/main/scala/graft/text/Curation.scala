@@ -48,17 +48,15 @@ object Curation {
       TextAnalysis.datasetSplit(col("doc_id"),
         validHexThreshold = cfg.validHexThreshold).as("split"),
       TextAnalysis.scrub(col("text")).as("clean_text"))
-    val withOrd = base.join(
-      TextAnalysis.exportOrder(base, cfg.nShards), Seq("doc_id"))
-    // token budget counts the text the loader actually sees (post-scrub);
-    // per-split packing keeps train and valid packs disjoint
-    val packed = Seq("train", "valid").map { s =>
-      TextAnalysis.packs(withOrd.filter(col("split") === s),
-        cfg.maxTokens, cfg.nShards, textCol = "clean_text",
-        orderCol = Some("ord"))
-        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
-    }.reduce(_ unionByName _)
-    withOrd.join(packed, Seq("doc_id"))
+    // the annotating window forms keep the chain a SINGLE linear plan — the
+    // projecting operators would force self-joins that re-evaluate the
+    // scan→dedup→gate subtree once per join (4 scans instead of 1; the plan
+    // audit that motivated this is CurationSpec's exchange-count bound).
+    // Token budget counts the text the loader actually sees (post-scrub);
+    // the (split, shard) pack partition keeps train/valid packs disjoint.
+    val ordered = TextAnalysis.withExportOrder(base, cfg.nShards)
+    TextAnalysis.withPacks(ordered, cfg.maxTokens, Seq("split", "shard"),
+      orderCol = "ord", textCol = "clean_text")
       .select(col("doc_id"), col("lang"), col("split"), col("shard"),
         col("ord"), col("pack_id"), col("n_tokens"), col("clean_text"))
   }

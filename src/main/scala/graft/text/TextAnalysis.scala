@@ -282,6 +282,14 @@ object TextAnalysis {
     * per shard — parallelism = nShards, no global sort, same scale shape as
     * packing. */
   def exportOrder(docs: DataFrame, nShards: Int = 8, salt: String = "order",
+      keyCol: String = "doc_id"): DataFrame =
+    withExportOrder(docs, nShards, salt, keyCol)
+      .select(col(keyCol), col("shard"), col("ord"))
+
+  /** Annotating form of [[exportOrder]]: adds `shard` and `ord`, keeps every
+    * input column — composes into a single linear plan (no self-join) when
+    * the caller needs the order alongside the data, as [[Curation]] does. */
+  def withExportOrder(docs: DataFrame, nShards: Int = 8, salt: String = "order",
       keyCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val okey = md5(concat(lit(salt), col(keyCol).cast("string")))
@@ -289,7 +297,6 @@ object TextAnalysis {
     docs
       .withColumn("shard", pmod(col(keyCol), lit(nShards)))
       .withColumn("ord", (row_number().over(w) - 1).cast("long"))
-      .select(col(keyCol), col("shard"), col("ord"))
   }
 
   // -- sequence packing ------------------------------------------------------
@@ -306,19 +313,26 @@ object TextAnalysis {
     */
   def packs(docs: DataFrame, maxTokens: Int = 2048, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
-      orderCol: Option[String] = None): DataFrame = {
+      orderCol: Option[String] = None): DataFrame =
+    withPacks(docs.withColumn("shard", pmod(col(idCol), lit(nShards))),
+      maxTokens, Seq("shard"), orderCol.getOrElse(idCol), idCol, textCol)
+      .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
+
+  /** Annotating form of [[packs]]: adds `n_tokens` and `pack_id` over an
+    * explicit partition (e.g. `(split, shard)` so train/valid packs never
+    * mix) and layout-order column, keeping every input column. The window
+    * order ties-break on `idCol`, so the assignment is total. */
+  def withPacks(docs: DataFrame, maxTokens: Int, partitionCols: Seq[String],
+      orderCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // layout order within the shard: id order by default; an explicit column
-    // (e.g. exportOrder's `ord`) when the loader consumes a shuffled order
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(orderCol.map(col).getOrElse(col(idCol)), col(idCol))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .withColumn("shard", pmod(col(idCol), lit(nShards)))
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("pack_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens).cast("long"))
-      .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
   }
 
   // -- URL/domain analysis ----------------------------------------------------

@@ -55,4 +55,16 @@ class CurationSpec extends SparkSpec {
     // sampling bites but does not empty the corpus
     assert(ids.nonEmpty && ids.size < 119)
   }
+
+  test("curation plan is one linear chain: no joins, bounded exchanges") {
+    // the annotating window forms must not re-evaluate the scan->dedup->gate
+    // subtree: a join-composed version of this DAG measured 16 exchanges /
+    // 4 scans; the linear form needs only the three window exchanges
+    // (dedup fingerprint, shard order, (split,shard) packing)
+    val out = Curation.run(docs, Curation.Config(maxTokens = 16, nShards = 4))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"curation must not self-join:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <= 4 exchanges, found $exchanges")
+  }
 }
