@@ -293,6 +293,10 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("dup_token_bp"), col("dup_line_bp"))),
+    // gap-based conversation sessionization (24h gap; lag -> flag -> running
+    // sum, one exchange) with per-session rollup
+    "q_sessions" -> ((s, dir) =>
+      graft.agg.Sessionize.sessions(Transcripts.fromEvents(s, dir))),
     // the FULL curation DAG in one declarative plan: dedup -> quality gate
     // -> lang ID -> mix sample -> scrub -> split -> export shuffle ->
     // per-split packing in export order (every stage's oracle composed into
@@ -669,6 +673,22 @@ object SparkEntry {
                 ELSE cast(floor((1.0 - cast(len(list_distinct(lns)) AS double)
                                   / len(lns)) * 10000) AS bigint) END AS dup_line_bp
          FROM t""",
+    "q_sessions" -> Oracles.withPipeline(
+      """SELECT conv_id, cast(session_idx AS bigint) AS session_idx,
+           count(*) AS n_turns,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) AS end_us
+         FROM (
+           SELECT conv_id, ts,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 86400000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS session_idx
+           FROM (
+             SELECT conv_id, turn_idx, ts,
+               lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+             FROM turns))
+         GROUP BY conv_id, session_idx"""),
     "q_curation_full" ->
       """WITH dd AS (
            SELECT doc_id, text, row_number() OVER (

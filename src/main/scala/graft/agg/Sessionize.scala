@@ -1,0 +1,59 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based conversation sessionization — the classic log-analytics
+  * operator the reference's consumers run downstream of the pipeline
+  * (cf. /root/reference/monitoring/stats.go:10-118 exposing per-connection
+  * activity: a "session" is the unit those counters describe): within a
+  * conversation, a new session starts when the gap since the previous turn
+  * exceeds `gapSeconds`.
+  *
+  * Construction: lag → boundary flag → running sum = session index. Both
+  * windows share the (conv_id) partition and (ts, turn_idx) order, so the
+  * physical plan carries ONE exchange and one sort (SessionizeSpec pins
+  * this). At 100 TB this is the minimum possible for the semantics: any
+  * sessionizer must co-locate a conversation's turns once.
+  *
+  * [[sessions]] is the per-session rollup; its streaming twin is Spark's
+  * built-in `session_window` aggregation (same gap-merge semantics —
+  * SessionizeSpec proves the two agree turn-for-turn, which also
+  * cross-validates this construction against Spark's implementation).
+  */
+object Sessionize {
+
+  /** Exact microsecond epoch. The cast lifts parquet's TIMESTAMP_NTZ to
+    * session-TZ TIMESTAMP (identity under the UTC sessions this engine
+    * pins), which `unix_micros` requires. */
+  private def micros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
+  /** Per-turn session index (0-based, dense within a conversation). The gap
+    * compares exact microsecond epochs (`unix_micros` ⇄ DuckDB `epoch_us`)
+    * — second-truncating forms would disagree across engines on gaps that
+    * straddle the threshold by a fraction of a second. */
+  def sessionize(turns: DataFrame, gapSeconds: Long = 86400L): DataFrame = {
+    val byConv = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+    val prev = lag(col("ts"), 1).over(byConv)
+    val newSess = when(
+      prev.isNull || micros(col("ts")) - micros(prev) > gapSeconds * 1000000L,
+      lit(1)).otherwise(lit(0))
+    turns
+      .withColumn("session_idx",
+        (sum(newSess).over(byConv.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+          .cast("long"))
+  }
+
+  /** Per-session rollup: turn count and exact epoch-microsecond span
+    * (bigints — raw timestamps never cross the engine-comparison
+    * boundary). */
+  def sessions(turns: DataFrame, gapSeconds: Long = 86400L): DataFrame =
+    sessionize(turns, gapSeconds)
+      .groupBy(col("conv_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(micros(col("ts"))).as("start_us"),
+        max(micros(col("ts"))).as("end_us"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.agg.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long, us: Long = 0): Timestamp = {
+    val ts = new Timestamp(s * 1000L)
+    ts.setNanos((us * 1000L).toInt)
+    ts
+  }
+
+  // conv A: turns at 0s, 100s, 5000s (gap > 1800 -> new session), 5100s
+  // conv B: single turn
+  private val turns = Seq(
+    ("A", 0, t(0)), ("A", 1, t(100)), ("A", 2, t(5000)), ("A", 3, t(5100)),
+    ("B", 0, t(7))
+  ).toDF("conv_id", "turn_idx", "ts")
+
+  test("gap-based session indices: handcrafted boundaries") {
+    val out = Sessionize.sessionize(turns, gapSeconds = 1800L)
+      .select("conv_id", "turn_idx", "session_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("A", 0) -> 0L, ("A", 1) -> 0L, ("A", 2) -> 1L, ("A", 3) -> 1L,
+      ("B", 0) -> 0L))
+    val roll = Sessionize.sessions(turns, gapSeconds = 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(roll === Set(("A", 0L, 2L), ("A", 1L, 2L), ("B", 0L, 1L)))
+  }
+
+  test("sub-second gap precision: 1800.000001s is a break, 1799.999999s is not") {
+    val edge = Seq(
+      ("C", 0, t(0)), ("C", 1, t(1800, 1)),      // 1800.000001s -> break
+      ("D", 0, t(0)), ("D", 1, t(1799, 999999))  // 1799.999999s -> merge
+    ).toDF("conv_id", "turn_idx", "ts")
+    val idx = Sessionize.sessionize(edge, gapSeconds = 1800L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(idx(("C", 1)) === 1L)
+    assert(idx(("D", 1)) === 0L)
+  }
+
+  test("agrees with Spark's built-in session_window aggregation") {
+    // pseudo-random gaps (no exact-boundary collisions: session_window's
+    // half-open window differs from lag-gap exactly AT the boundary)
+    val data = (for {
+      c <- 0 until 7
+      i <- 0 until 40
+    } yield {
+      val step = 13L + ((c * 40 + i) * 997L) % 3600L // 13s .. ~1h
+      (s"conv-$c", i, step)
+    }).groupBy(_._1).toSeq.flatMap { case (cid, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, i, step) => acc += step; (cid, i, t(acc, 137L * i % 1000000)) }
+    }
+    val df = data.toDF("conv_id", "turn_idx", "ts")
+    val gap = 1800L
+    val mine = Sessionize.sessions(df, gap)
+      .select("conv_id", "start_us", "n_turns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val builtin = df
+      .groupBy(col("conv_id"), session_window(col("ts"), s"$gap seconds"))
+      .agg(count(lit(1)).as("n_turns"), min(unix_micros(col("ts"))).as("start_us"))
+      .select("conv_id", "start_us", "n_turns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mine === builtin)
+    assert(mine.size > data.map(_._1).distinct.size, "gap must split some conversations")
+  }
+
+  test("sessionize plan carries one exchange (both windows share the conv partition)") {
+    val plan = Sessionize.sessionize(turns).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan.take(1200))
+  }
+}
