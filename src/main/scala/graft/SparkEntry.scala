@@ -214,6 +214,14 @@ object SparkEntry {
       graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 16), emb, m, k = 5, nProbe = 4)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
+    // product-quantization ANN — 8-byte codes scan + exact rerank (rows-only)
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val m = graft.similarity.Pq.train(emb)
+      graft.similarity.Pq.topK(emb.filter(col("vec_id") < 16), emb, m,
+          k = 5, shortlist = 64)
+        .select(col("query_id"), col("cand_id"), col("rank"))
+    }),
     // embedding-cosine near-dup pairs, exact all-pairs (DuckDB-oracled)
     "q_cos_neardup" -> ((s, dir) =>
       Ann.exactNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
