@@ -222,6 +222,15 @@ object SparkEntry {
           k = 5, shortlist = 64)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
+    // IVF-PQ: probed inverted lists scored from 8-byte codes (rows-only)
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = graft.similarity.Ivf.train(emb, nLists = 16)
+      val pq = graft.similarity.Pq.train(emb)
+      graft.similarity.Pq.ivfPqTopK(emb.filter(col("vec_id") < 16), emb, ivf, pq,
+          k = 5, nProbe = 4, shortlist = 64)
+        .select(col("query_id"), col("cand_id"), col("rank"))
+    }),
     // embedding-cosine near-dup pairs, exact all-pairs (DuckDB-oracled)
     "q_cos_neardup" -> ((s, dir) =>
       Ann.exactNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),

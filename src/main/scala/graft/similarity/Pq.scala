@@ -78,6 +78,42 @@ object Pq {
         ci)
     }: _*))
 
+  /** IVF-PQ — the full composition of both quantizers (what FAISS calls
+    * IVFPQ, the architecture that serves billion-vector indexes): the
+    * candidate set comes from the query's nProbe inverted lists
+    * ([[Ivf.assign]] equi-join on centroid_id — no exhaustive scan), each
+    * candidate is scored from its 8-byte PQ code, and only the per-query
+    * shortlist touches full-precision embeddings for the exact rerank.
+    * Per-query work: (N·nProbe/nLists) code lookups + shortlist exact dots. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      ivf: Ivf.Model, pq: Model, k: Int = 5, nProbe: Int = 4,
+      shortlist: Int = 32): DataFrame = {
+    val lists = Ivf.assign(corpus, ivf, nProbe = 1)
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      .join(encode(corpus, pq).select(col("vec_id").as("cand_id"), col("code")),
+        Seq("cand_id"))
+    val probes = Ivf.assign(queries, ivf, nProbe = nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val approx = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("q_emb"), col("cand_id"), col("code")).distinct()
+      .withColumn("acos", Ann.cosine(col("q_emb"), decodeExpr(pq, col("code"))))
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand_id"))
+    val short = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("q_emb"), col("cand_id"))
+    val we = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    short
+      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+        Seq("cand_id"))
+      .withColumn("cos", Ann.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** PQ scan + exact rerank: the exhaustive pass touches only codes; the
     * full-precision embeddings join in for `shortlist` candidates/query. */
   def topK(queries: DataFrame, corpus: DataFrame, mm: Model,

@@ -50,6 +50,28 @@ class PqSpec extends SparkSpec {
     assert(top1(0).getDouble(2) > 0.999999)
   }
 
+  test("IVF-PQ: probed lists + code scoring finds the exact duplicate; recall reasonable") {
+    import graft.similarity.Ivf
+    val clone = emb.filter(col("vec_id") === 11)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clone)
+    val ivf = Ivf.train(corpus, nLists = 8)
+    val pq = Pq.train(corpus)
+    val top1 = Pq.ivfPqTopK(corpus.filter(col("vec_id") === 11), corpus, ivf, pq,
+      k = 1, nProbe = 1, shortlist = 16).collect()
+    assert(top1.length === 1 && top1(0).getLong(1) === 10011L)
+
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Ann.bruteForceTopK(queries, emb, 5).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf8 = Ivf.train(emb, nLists = 8)
+    val got = Pq.ivfPqTopK(queries, emb, ivf8, model, k = 5, nProbe = 4, shortlist = 64)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5: $recall")
+  }
+
   test("recall@5 vs brute force grows with the shortlist and is >= 0.6 at 64") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Ann.bruteForceTopK(queries, emb, 5).select("query_id", "cand_id")
