@@ -46,7 +46,12 @@ object Bench {
   private val headline = Seq(
     "q_routed_rows", "q_sink_agg", "q_conv_spans", "q_enrich_agg",
     "q_limit_final", "q_dedup_exact", "q_minhash_pairs", "q_simhash",
-    "q_ann_lsh", "q_token_stats", "q_quality", "q_langid")
+    "q_ann_lsh", "q_token_stats", "q_quality", "q_langid",
+    // round-3 flagship: the 8-stage curation DAG as one linear plan.
+    // (q_ann_pq is excluded: its time is ~95% one-off k-means index BUILD,
+    // which would misrepresent the query phase — the ANN query family is
+    // already represented by q_ann_lsh.)
+    "q_curation_full")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
