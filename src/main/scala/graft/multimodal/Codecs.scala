@@ -64,6 +64,52 @@ object ImageCodec {
     sum / (img.getWidth.toLong * img.getHeight)
   }
 
+  /** One fused pixel pass for the hot decode path: bulk-reads the pixel
+    * array once (per-pixel `getRGB(x, y)` pays a colormodel conversion per
+    * CALL, and [[brightness]] + [[grayThumb]] + a checksum loop would walk
+    * the pixels three times) and computes the FNV checksum over RGB ints,
+    * the mean luminance, and the (tw × th) area-average gray thumbnail in
+    * a single traversal. Bit-identical to the three separate passes. */
+  def analyze(img: BufferedImage, tw: Int, th: Int): (Long, Double, Array[Float]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var cs = 1469598103934665603L
+    var sum = 0.0
+    val lum = new Array[Double](px.length)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      cs = (cs ^ (p & 0xffffffffL)) * 1099511628211L
+      val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      lum(i) = l
+      sum += l
+      i += 1
+    }
+    val out = new Array[Float](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var acc = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += lum(y * w + x); x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (acc / ((y1 - y0).toLong * (x1 - x0)) / 255.0).toFloat
+        tx += 1
+      }
+      ty += 1
+    }
+    (cs, sum / px.length, out)
+  }
+
   /** Real resize: area-average resample to (tw × th), returned as a
     * row-major grayscale embedding in [0, 1] — the classic thumbnail
     * feature vector (feeds the ANN operators directly). */
@@ -145,41 +191,51 @@ object WavCodec {
   }
 
   /** Real decode: walks the RIFF chunk list to `fmt ` + `data`. None when
-    * the payload is not PCM16 WAV. */
-  def decodePcm16(payload: Array[Byte]): Option[Wav] = {
-    if (payload.length < 44) return None
-    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val riff = new Array[Byte](4); buf.get(riff)
-    buf.getInt() // riff size
-    val wave = new Array[Byte](4); buf.get(wave)
-    if (new String(riff, "US-ASCII") != "RIFF" || new String(wave, "US-ASCII") != "WAVE")
-      return None
-    var sampleRate = 0
-    var channels = 0
-    var bits = 0
-    var samples: Array[Short] = null
-    while (buf.remaining() >= 8) {
-      val id = new Array[Byte](4); buf.get(id)
-      val len = buf.getInt()
-      val name = new String(id, "US-ASCII")
-      if (name == "fmt " && len >= 16) {
-        val fmt = buf.getShort(); channels = buf.getShort()
-        sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
-        bits = buf.getShort()
-        if (fmt != 1) return None // PCM only
-        if (len > 16) buf.position(buf.position() + (len - 16))
-      } else if (name == "data") {
-        val n = math.min(len, buf.remaining()) / 2
-        samples = Array.fill(n)(buf.getShort())
-      } else {
-        if (len < 0 || len > buf.remaining()) return None
-        buf.position(buf.position() + len)
+    * the payload is not PCM16 WAV — including truncated/hostile headers
+    * (never throws: one corrupt blob must yield ok=false, not a dead Spark
+    * task). Odd-length chunks carry a RIFF pad byte; the walk jumps to
+    * `start + 8 + len + (len & 1)` so real-world files with e.g. LIST/INFO
+    * metadata chunks stay in sync. */
+  def decodePcm16(payload: Array[Byte]): Option[Wav] =
+    try {
+      if (payload.length < 44) return None
+      val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val riff = new Array[Byte](4); buf.get(riff)
+      buf.getInt() // riff size
+      val wave = new Array[Byte](4); buf.get(wave)
+      if (new String(riff, "US-ASCII") != "RIFF" || new String(wave, "US-ASCII") != "WAVE")
+        return None
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8) {
+        val id = new Array[Byte](4); buf.get(id)
+        val len = buf.getInt()
+        if (len < 0) return None
+        val next = buf.position().toLong + len + (len & 1) // RIFF pad byte
+        val name = new String(id, "US-ASCII")
+        if (name == "fmt ") {
+          if (len < 16 || buf.remaining() < 16) return None
+          val fmt = buf.getShort(); channels = buf.getShort()
+          sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
+          bits = buf.getShort()
+          if (fmt != 1) return None // PCM only
+        } else if (name == "data") {
+          val n = math.min(len, buf.remaining()) / 2
+          samples = Array.fill(n)(buf.getShort())
+        }
+        if (next >= buf.limit()) return {
+          if (sampleRate > 0 && bits == 16 && samples != null)
+            Some(Wav(sampleRate, math.max(1, channels), samples))
+          else None
+        }
+        buf.position(next.toInt)
       }
-    }
-    if (sampleRate > 0 && bits == 16 && samples != null)
-      Some(Wav(sampleRate, math.max(1, channels), samples))
-    else None
-  }
+      if (sampleRate > 0 && bits == 16 && samples != null)
+        Some(Wav(sampleRate, math.max(1, channels), samples))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RMS loudness in [0, 1] relative to full scale. */
   def rms(samples: Array[Short]): Double = {

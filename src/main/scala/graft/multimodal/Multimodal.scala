@@ -87,9 +87,13 @@ object Multimodal {
       var cs = 1469598103934665603L
       var sum = 0L
       payload.foreach { b => cs = (cs ^ b) * 1099511628211L; sum += (b & 0xff) }
+      // embedding DIRECTION must depend on the payload (a constant-valued
+      // vector has cosine 1.0 against every other constant vector, which
+      // would make any cosine machinery over stub features degenerate)
       Features(ok = payload.nonEmpty, featDim = 8, checksum = cs,
         brightness = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
-        embedding = Array.fill(8)(if (payload.isEmpty) 0f else (sum % 255).toFloat / 255))
+        embedding = Array.tabulate(8)(j =>
+          if (payload.isEmpty) 0f else ((cs >>> (8 * j)) & 0xffL).toFloat / 255))
     }
     /** Frame-sample stub: deterministic frame offsets for a video payload. */
     def sampleFrames(durationMs: Int, everyMs: Int): Seq[Int] =
@@ -108,17 +112,11 @@ object Multimodal {
       case "image" =>
         ImageCodec.decode(payload) match {
           case Some(img) =>
-            // checksum over DECODED pixels (not file bytes): proves decode
-            var cs = 1469598103934665603L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) { cs = fnv(cs, img.getRGB(x, y)); x += 1 }
-              y += 1
-            }
+            // checksum over DECODED pixels (not file bytes): proves decode.
+            // One fused pixel pass — see ImageCodec.analyze.
+            val (cs, bright, thumb) = ImageCodec.analyze(img, ImageThumb, ImageThumb)
             Features(ok = true, featDim = ImageThumb * ImageThumb, checksum = cs,
-              brightness = ImageCodec.brightness(img),
-              embedding = ImageCodec.grayThumb(img, ImageThumb, ImageThumb))
+              brightness = bright, embedding = thumb)
           case None =>
             Features(ok = false, 0, 0L, 0.0, Array.empty)
         }
@@ -169,6 +167,8 @@ object Multimodal {
     * `Ann.exactNearDupPairs`). */
   def mediaNearDupPairs(assets: DataFrame, kind: String, threshold: Double = 0.98,
       exact: Boolean = false): DataFrame = {
+    require(kind == "image" || kind == "audio",
+      s"near-dup needs a REAL decode; '$kind' features come from the declared stub")
     val emb = extractFeatures(assets.filter(col("kind") === kind)).toDF()
       .filter(col("ok"))
       .select(col("asset_id").as("vec_id"), col("embedding"))

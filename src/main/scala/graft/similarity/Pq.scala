@@ -39,15 +39,23 @@ object Pq {
     require(d % m == 0, s"m=$m must divide dim=$d")
     require(ksub <= 256, "one byte per subspace code")
     val sub = d / m
-    val books = (0 until m).map { i =>
-      val km = new KMeans()
-        .setK(ksub).setSeed(seed + i).setMaxIter(20)
-        .setFeaturesCol("features")
-      val feats = corpus.select(array_to_vector(
-        slice(col("embedding"), i * sub + 1, sub).cast("array<double>"))
-        .as("features"))
-      km.fit(feats).clusterCenters.map(_.toArray)
-    }.toArray
+    // the m sub-quantizer fits are independent — submit them as concurrent
+    // Spark jobs (the scheduler interleaves their tiny stages; serial fits
+    // pay m× the per-job overhead, which dominates at small k)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = Await.result(Future.sequence((0 until m).map { i =>
+      Future {
+        val km = new KMeans()
+          .setK(ksub).setSeed(seed + i).setMaxIter(20)
+          .setFeaturesCol("features")
+        val feats = corpus.select(array_to_vector(
+          slice(col("embedding"), i * sub + 1, sub).cast("array<double>"))
+          .as("features"))
+        km.fit(feats).clusterCenters.map(_.toArray)
+      }
+    }), Duration.Inf).toArray
     Model(m, ksub, d, books)
   }
 
@@ -99,6 +107,14 @@ object Pq {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("q_emb"), col("cand_id"), col("code")).distinct()
       .withColumn("acos", Ann.cosine(col("q_emb"), decodeExpr(pq, col("code"))))
+    shortlistRerank(approx, corpus, k, shortlist)
+  }
+
+  /** Shared tail of both PQ paths: keep the `shortlist` best approximate
+    * scores per query, join the full-precision embeddings for those rows
+    * only, exact-rerank to top-k (cand_id breaks ties at both stages). */
+  private def shortlistRerank(approx: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
     val wa = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand_id"))
     val short = approx
       .withColumn("arank", row_number().over(wa))
@@ -123,18 +139,6 @@ object Pq {
     val approx = q.crossJoin(codes.select(col("vec_id").as("cand_id"), col("code")))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("acos", Ann.cosine(col("q_emb"), decodeExpr(mm, col("code"))))
-    val wa = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand_id"))
-    val short = approx
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= shortlist)
-      .select(col("query_id"), col("q_emb"), col("cand_id"))
-    val we = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    short
-      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-        Seq("cand_id"))
-      .withColumn("cos", Ann.cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(we))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    shortlistRerank(approx, corpus, k, shortlist)
   }
 }

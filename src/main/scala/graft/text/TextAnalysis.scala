@@ -152,10 +152,16 @@ object TextAnalysis {
       salt: String = "mix", keyCol: String = "doc_id"): DataFrame = {
     require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
     val bucket = hashBucket(col(keyCol), salt)
-    def keepFor(rate: Double): Column =
-      if (rate >= 1.0) lit(true)
-      else if (rate <= 0.0) lit(false)
-      else bucket < lit(f"${math.round(rate * 65536)}%04x")
+    def keepFor(rate: Double): Column = {
+      // clamp on the ROUNDED threshold: a rate like 0.999999 rounds to
+      // 65536, whose "%04x" would be the 5-char "10000" — lexicographically
+      // SMALLER than most 4-char buckets, silently keeping ~6% instead of
+      // ~100%
+      val t = math.round(rate * 65536)
+      if (t >= 65536L) lit(true)
+      else if (t <= 0L) lit(false)
+      else bucket < lit(f"$t%04x")
+    }
     val ordered = rates.toSeq.sortBy(_._1)
     val chain = ordered.tail.foldLeft(
       when(col(stratumCol) === ordered.head._1, keepFor(ordered.head._2))) {

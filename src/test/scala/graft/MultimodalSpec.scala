@@ -55,6 +55,41 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodePcm16("not a wav at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("WAV decode survives hostile input and RIFF oddities") {
+    import graft.multimodal.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // truncated fmt chunk: declared len 16 but payload ends — None, no throw
+    val truncated = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(100)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).array()
+    assert(WavCodec.decodePcm16(truncated).isEmpty)
+    // negative / absurd chunk length — None, no throw
+    val badLen = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(44)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(-5).array()
+    assert(WavCodec.decodePcm16(badLen).isEmpty)
+    // an ODD-length metadata chunk before data carries a RIFF pad byte;
+    // the walk must stay in sync and still find fmt + data
+    val tone = WavCodec.sineTone(8000, ms = 20, freqHz = 440.0)
+    val clean = WavCodec.encodePcm16(8000, tone)
+    val meta = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val withMeta = clean.take(12) ++ meta ++ clean.drop(12)
+    // patch the RIFF size (not validated, but keep the file honest)
+    val wav = WavCodec.decodePcm16(withMeta)
+    assert(wav.isDefined, "odd-length chunk desynced the walk")
+    assert(wav.get.samples.toSeq === tone.toSeq)
+  }
+
+  test("video near-dup is rejected: stub features must not feed the cosine machinery") {
+    val assets = Multimodal.syntheticAssets(spark, 9)
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDupPairs(assets, "video")
+    }
+  }
+
   test("perceptual near-dup finds every planted duplicate; LSH path is a subset of exact") {
     // 90 assets, dupCycle=10: 30 images = 10 distinct contents x 3 byte-identical
     // replicas (same for audio) -> C(3,2)*10 = 30 planted pairs per kind

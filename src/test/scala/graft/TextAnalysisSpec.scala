@@ -196,6 +196,9 @@ class TextAnalysisSpec extends SparkSpec {
       i % 2 == 1 || md.substring(0, 4) < "8000"
     }.toSet
     assert(kept === expected)
+    // a rate that ROUNDS to 65536 must keep everything (the naive "%04x"
+    // would be the 5-char "10000", lexicographically below most buckets)
+    assert(ids(Map("en" -> 0.999999, "und" -> 0.9999999)).size === 200)
     // verdicts are per-doc: dropping other docs never changes membership
     val subsetKept = TextAnalysis.stratifiedSample(
       docs.filter(col("doc_id") < 50), "lang", Map("en" -> 0.5))
