@@ -59,6 +59,25 @@ object StreamingPipeline {
       .select(col("sink"), col("window.start").as("bucket"),
         col("turns"), col("bucket_bytes"))
 
+  /** Streaming conversation sessionization — the event-time twin of the
+    * batch gap operator ([[graft.agg.Sessionize]], whose spec proves the
+    * gap semantics equal `session_window`'s merge semantics): one session
+    * row per (conv_id, gap-merged window), emitted once the watermark
+    * closes the session. State is one open window per active conversation,
+    * expired by the watermark — bounded by (active convs within horizon),
+    * never total history. */
+  def sessionAgg(
+      turns: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"),
+        min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
+      .select(col("conv_id"), col("n_turns"), col("start_us"), col("end_us"))
+
   /** Streaming exact dedup: drop (conv_id, turn_idx) duplicates ACROSS
     * micro-batches within the watermark horizon — the streaming form of the
     * reference's Consul-KV per-event dedup set (source/nomad/worker.go:

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.agg.Sessionize
+import graft.streaming.StreamingPipeline
 
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
@@ -68,6 +69,49 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(mine === builtin)
     assert(mine.size > data.map(_._1).distinct.size, "gap must split some conversations")
+  }
+
+  test("streaming sessionization equals the batch rollup on the same files") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("graft-sess").toString
+    // 12 convs x 30 turns with varied gaps (same shape as the parity test)
+    val data = (for { c <- 0 until 12; i <- 0 until 30 } yield {
+      val step = 13L + ((c * 30 + i) * 997L) % 3600L
+      (s"conv-$c", i, step)
+    }).groupBy(_._1).toSeq.flatMap { case (cid, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, i, step) => acc += step; (cid, i, t(acc, 137L * i % 1000000)) }
+    }
+    // one time-ordered file: a file source feeds files in unordered batches,
+    // and events behind an already-advanced watermark would be dropped —
+    // that's correct streaming semantics, but this test wants the closed-
+    // session subset relation, not late-data behavior
+    data.sortBy(_._3.getTime).toDF("conv_id", "turn_idx", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingPipeline.sessionAgg(stream, gap = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Append mode emits only watermark-CLOSED sessions; compare on the
+    // batch result restricted to the same closed set
+    val streamed = spark.table("sess_out")
+      .select("conv_id", "start_us", "end_us", "n_turns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Sessionize.sessions(spark.read.parquet(dir), gapSeconds = 1800L)
+      .select("conv_id", "start_us", "end_us", "n_turns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "watermark closed no sessions")
+    assert(streamed.subsetOf(batch),
+      s"streamed-only sessions: ${(streamed -- batch).take(5)}")
+    // only sessions in the trailing watermark+gap horizon may stay open
+    assert(streamed.size >= batch.size - 3 * 12,
+      s"too few closed sessions: ${streamed.size} of ${batch.size}")
   }
 
   test("sessionize plan carries one exchange (both windows share the conv partition)") {
