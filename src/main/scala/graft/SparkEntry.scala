@@ -698,7 +698,7 @@ object SparkEntry {
          FROM (
            SELECT conv_id, ts,
              sum(CASE WHEN prev IS NULL
-                        OR epoch_us(ts) - epoch_us(prev) > 86400000000
+                        OR epoch_us(ts) - epoch_us(prev) >= 86400000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS session_idx
            FROM (

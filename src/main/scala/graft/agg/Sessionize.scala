@@ -33,12 +33,16 @@ object Sessionize {
   /** Per-turn session index (0-based, dense within a conversation). The gap
     * compares exact microsecond epochs (`unix_micros` ⇄ DuckDB `epoch_us`)
     * — second-truncating forms would disagree across engines on gaps that
-    * straddle the threshold by a fraction of a second. */
+    * straddle the threshold by a fraction of a second. The boundary is
+    * half-open (a gap of EXACTLY `gapSeconds` starts a new session, `>=`),
+    * matching Spark's `session_window` [t, t+gap) convention exactly — so
+    * the streaming twin and this operator agree on every input, including
+    * the boundary. */
   def sessionize(turns: DataFrame, gapSeconds: Long = 86400L): DataFrame = {
     val byConv = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
     val prev = lag(col("ts"), 1).over(byConv)
     val newSess = when(
-      prev.isNull || micros(col("ts")) - micros(prev) > gapSeconds * 1000000L,
+      prev.isNull || micros(col("ts")) - micros(prev) >= gapSeconds * 1000000L,
       lit(1)).otherwise(lit(0))
     turns
       .withColumn("session_idx",

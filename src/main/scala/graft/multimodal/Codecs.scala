@@ -55,8 +55,7 @@ object ImageCodec {
     while (y < img.getHeight) {
       var x = 0
       while (x < img.getWidth) {
-        val p = img.getRGB(x, y)
-        sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+        sum += luma(img.getRGB(x, y))
         x += 1
       }
       y += 1
@@ -70,22 +69,27 @@ object ImageCodec {
     * the pixels three times) and computes the FNV checksum over RGB ints,
     * the mean luminance, and the (tw × th) area-average gray thumbnail in
     * a single traversal. Bit-identical to the three separate passes. */
+  /** BT.601 luminance of one packed RGB int — the ONE copy of the weights
+    * shared by [[brightness]], [[grayThumb]] and [[analyze]]. */
+  @inline private def luma(p: Int): Double =
+    0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+
   def analyze(img: BufferedImage, tw: Int, th: Int): (Long, Double, Array[Float]) = {
     val w = img.getWidth
     val h = img.getHeight
     val px = img.getRGB(0, 0, w, h, null, 0, w)
     var cs = 1469598103934665603L
     var sum = 0.0
-    val lum = new Array[Double](px.length)
     var i = 0
     while (i < px.length) {
       val p = px(i)
       cs = (cs ^ (p & 0xffffffffL)) * 1099511628211L
-      val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
-      lum(i) = l
-      sum += l
+      sum += luma(p)
       i += 1
     }
+    // thumbnail cells re-derive luminance from px directly — no O(w·h)
+    // double buffer (12 MP would mean ~96 MB of avoidable allocation per
+    // decode task on top of the pixel array)
     val out = new Array[Float](tw * th)
     var ty = 0
     while (ty < th) {
@@ -99,7 +103,7 @@ object ImageCodec {
         var y = y0
         while (y < y1) {
           var x = x0
-          while (x < x1) { acc += lum(y * w + x); x += 1 }
+          while (x < x1) { acc += luma(px(y * w + x)); x += 1 }
           y += 1
         }
         out(ty * tw + tx) = (acc / ((y1 - y0).toLong * (x1 - x0)) / 255.0).toFloat
@@ -130,8 +134,7 @@ object ImageCodec {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val p = img.getRGB(x, y)
-            sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            sum += luma(img.getRGB(x, y))
             x += 1
           }
           y += 1

@@ -60,9 +60,10 @@ object StreamingPipeline {
         col("turns"), col("bucket_bytes"))
 
   /** Streaming conversation sessionization — the event-time twin of the
-    * batch gap operator ([[graft.agg.Sessionize]], whose spec proves the
-    * gap semantics equal `session_window`'s merge semantics): one session
-    * row per (conv_id, gap-merged window), emitted once the watermark
+    * batch gap operator ([[graft.agg.Sessionize]], which uses the same
+    * half-open `>=` boundary as `session_window` so the two agree on every
+    * input including exact-gap boundaries): one session row per
+    * (conv_id, gap-merged window), emitted once the watermark
     * closes the session. State is one open window per active conversation,
     * expired by the watermark — bounded by (active convs within horizon),
     * never total history. */

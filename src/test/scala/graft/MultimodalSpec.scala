@@ -55,14 +55,31 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.decodePcm16("not a wav at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("fused analyze() is bit-identical to the three standalone passes") {
+    import graft.multimodal.ImageCodec
+    val img = ImageCodec.decode(ImageCodec.encodePng(41, 29, seed = 7L)).get
+    val (cs, bright, thumb) = ImageCodec.analyze(img, 8, 8)
+    // checksum twin: the original row-major FNV over getRGB(x, y)
+    var want = 1469598103934665603L
+    for (y <- 0 until 29; x <- 0 until 41)
+      want = (want ^ (img.getRGB(x, y) & 0xffffffffL)) * 1099511628211L
+    assert(cs === want)
+    assert(bright === ImageCodec.brightness(img))
+    assert(thumb.toSeq === ImageCodec.grayThumb(img, 8, 8).toSeq)
+  }
+
   test("WAV decode survives hostile input and RIFF oddities") {
     import graft.multimodal.WavCodec
     import java.nio.{ByteBuffer, ByteOrder}
-    // truncated fmt chunk: declared len 16 but payload ends — None, no throw
-    val truncated = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-      .put("RIFF".getBytes("US-ASCII")).putInt(100)
+    // truncated fmt chunk: >= 44 bytes (past the length pre-check) with a
+    // junk chunk padding the front, then a declared 16-byte fmt body that
+    // the payload cuts off — must hit the remaining()<16 guard, not throw
+    val truncated = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
       .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(16).put(new Array[Byte](16))
       .put("fmt ".getBytes("US-ASCII")).putInt(16).array()
+    assert(truncated.length === 44)
     assert(WavCodec.decodePcm16(truncated).isEmpty)
     // negative / absurd chunk length — None, no throw
     val badLen = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)

@@ -33,20 +33,24 @@ class SessionizeSpec extends SparkSpec {
     assert(roll === Set(("A", 0L, 2L), ("A", 1L, 2L), ("B", 0L, 1L)))
   }
 
-  test("sub-second gap precision: 1800.000001s is a break, 1799.999999s is not") {
+  test("sub-second gap precision and the half-open boundary (session_window convention)") {
     val edge = Seq(
       ("C", 0, t(0)), ("C", 1, t(1800, 1)),      // 1800.000001s -> break
-      ("D", 0, t(0)), ("D", 1, t(1799, 999999))  // 1799.999999s -> merge
+      ("D", 0, t(0)), ("D", 1, t(1799, 999999)), // 1799.999999s -> merge
+      ("E", 0, t(0)), ("E", 1, t(1800))          // EXACTLY 1800s -> break (>=)
     ).toDF("conv_id", "turn_idx", "ts")
     val idx = Sessionize.sessionize(edge, gapSeconds = 1800L)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
     assert(idx(("C", 1)) === 1L)
     assert(idx(("D", 1)) === 0L)
+    // half-open [t, t+gap): an event AT the boundary opens a new session —
+    // identical to session_window, so batch and streaming agree everywhere
+    assert(idx(("E", 1)) === 1L)
   }
 
   test("agrees with Spark's built-in session_window aggregation") {
-    // pseudo-random gaps (no exact-boundary collisions: session_window's
-    // half-open window differs from lag-gap exactly AT the boundary)
+    // pseudo-random sub-second-jittered gaps; exact-boundary behavior is
+    // pinned separately (both paths use the same half-open >= convention)
     val data = (for {
       c <- 0 until 7
       i <- 0 until 40
