@@ -201,10 +201,15 @@ object SparkEntry {
       Ann.bruteForceTopK(emb.filter(col("vec_id") < 16), emb, k = 5)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
-    // LSH-bucketed ANN — the scale path (rows-only)
+    // LSH-bucketed ANN — the scale path (rows-only). The fixture has no
+    // natural near-dups (max pairwise cosine ≈ 0.51), so deterministic
+    // clones are planted — the pairs an LSH index exists to find; identical
+    // vectors share every band, so each query finds its clone at rank 1.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 5)
+      val clones = emb.filter(col("vec_id") < 16)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      Ann.lshTopK(emb.filter(col("vec_id") < 16), emb.unionByName(clones), k = 5)
         .select(col("query_id"), col("cand_id"), col("rank"))
     }),
     // IVF ANN — coarse k-means quantizer + probed exact rerank (rows-only)
@@ -237,11 +242,16 @@ object SparkEntry {
           threshold = 0.3)
         .select(col("id_a"), col("id_b"))),
     // embedding-cosine near-dup via LSH bucketing — the scale path (rows-only;
-    // AnnSpec asserts it is a subset of the exact pairs with bounded recall)
-    "q_cos_neardup_lsh" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-          threshold = 0.3)
-        .select(col("id_a"), col("id_b"))),
+    // AnnSpec asserts it is a subset of the exact pairs with bounded recall).
+    // Clones planted as above (no natural near-dups in the fixture): every
+    // cloned pair is identical ⇒ shares every band ⇒ exactly 500 rows.
+    "q_cos_neardup_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val clones = emb
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      Ann.cosineNearDupPairs(emb.unionByName(clones), threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+    }),
     // token counting: whitespace + BPE-ish regex
     "q_token_stats" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(

@@ -80,13 +80,11 @@ object MinHashLSH {
       .groupBy("band_idx", "band_key")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, p.maxBucketSize))
-    // in-bucket pairing via self-product of the collected id list: the bucket
-    // is already local post-shuffle, so this is a flatMap, not a join
-    val pairs = smallBuckets
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a), b => struct(a.as("id_a"), b.as("id_b")))
-      ))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // in-bucket pairing via the shared generator chain (codegen; the earlier
+    // transform/filter/flatten formulation ran its lambdas interpreted) —
+    // the bucket is already local post-shuffle, so this is a flatMap, not a
+    // join, and the dedup exchange carries only (id_a, id_b)
+    val pairs = graft.functions.PairGen.unorderedPairs(smallBuckets, "ids")
       .distinct()
     p.verifyJaccard match {
       case None => pairs

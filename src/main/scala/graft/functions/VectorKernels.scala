@@ -72,6 +72,39 @@ object VectorKernelsImpl {
     sig
   }
 
+  /** `bands` independent LSH band keys, each a `bits`-bit sign signature over
+    * its own hyperplane family (global plane indices [b·bits, (b+1)·bits) —
+    * the same plane family as [[hyperplaneSig]], so for bands·bits ≤ 64 band
+    * b here equals bit-slice b of the single signature). True multi-table
+    * LSH: total planes = bands·bits may exceed 64, which is what makes
+    * ≥16-bit band keys affordable without collapsing recall — each band is
+    * an independent 2^bits-bucket hash table, not a slice of one table. */
+  def hyperplaneBands(emb: ArrayData, bits: Int, bands: Int, isFloat: Boolean): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        val p = b * bits + i
+        val hp = XXH64.hashInt(p, 42L) // xxhash64's default seed
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val x = elem(emb, d, isFloat)
+          proj += (if (XXH64.hashInt(d, hp) % 2 == 0) x else -x)
+          d += 1
+        }
+        if (proj > 0) sig |= (1L << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ids of the `nProbe` centroids nearest (squared L2) to `emb`, ordered by
     * (distance asc, id asc) — the IVF coarse-quantizer assignment as one
     * projection over a plan-constant centroid matrix (no join, no window). */
@@ -174,6 +207,33 @@ case class HyperplaneSig(child: Expression, nPlanes: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** `hyperplane_bands(array<float|double>, bits, bands)` → array<bigint>:
+  * `bands` independent random-hyperplane band keys of `bits` bits each —
+  * multi-table LSH signatures in one compiled pass (total planes bands·bits,
+  * unbounded by the single-long limit of [[HyperplaneSig]]). */
+case class HyperplaneBands(child: Expression, bits: Int, bands: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 64, s"bits out of range: $bits")
+  require(bands > 0, s"bands out of range: $bands")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkVec(child.dataType, "hyperplane_bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  private lazy val isFloat = VectorKernels.isFloat(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernelsImpl.hyperplaneBands(v.asInstanceOf[ArrayData], bits, bands, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernelsImpl.hyperplaneBands($c, $bits, $bands, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 /** `nearest_centroids(embedding)` → array<int> of the nProbe nearest centroid
   * ids. The centroid matrix is a plan constant (the IVF model is O(nLists)
   * doubles), shipped to executors inside the serialized expression — the
@@ -209,6 +269,8 @@ object VectorFunctions {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def hyperplane_sig(emb: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), nPlanes))
+  def hyperplane_bands(emb: Column, bits: Int, bands: Int): Column =
+    Bridge.column(HyperplaneBands(Bridge.expression(emb), bits, bands))
   def nearest_centroids(emb: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nProbe))
 }

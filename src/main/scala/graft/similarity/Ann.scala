@@ -11,11 +11,11 @@ import graft.functions.VectorFunctions
   * Paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    O(Q × N); fine when the query set is small or N is bounded.
-  *  - [[lshTopK]]: random-hyperplane LSH (sign-bit sketch) bucketing — the
-  *    scale path. Each vector gets a `nPlanes`-bit signature from
-  *    deterministic pseudo-random hyperplanes; candidates come from an
-  *    equi-join on signature bands (multi-probe), then exact cosine re-ranks
-  *    only the bucket.
+  *  - [[lshTopK]]: multi-table random-hyperplane LSH (sign-bit sketch,
+  *    Charikar) — the scale path. Each vector gets `bands` independent
+  *    `bitsPerBand`-bit keys from deterministic pseudo-random hyperplane
+  *    families; candidates come from an equi-join on (band_idx, band_val)
+  *    with capped buckets, then exact cosine re-ranks only the candidates.
   *  - [[exactNearDupPairs]] / [[cosineNearDupPairs]]: embedding-cosine
   *    near-duplicate detection — exact all-pairs (small scale / oracle duty)
   *    and the LSH-bucketed scale path.
@@ -49,36 +49,82 @@ object Ann {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates share a signature band, re-ranked exactly.
-    * bands of bits (multi-probe) trade recall vs candidate count. */
+  /** Multi-table hyperplane-LSH parameters.
+    *
+    * Each of the `bands` tables is an independent `bitsPerBand`-bit plane
+    * family (total planes = bands·bitsPerBand — NOT a slice of one 64-bit
+    * signature, so wide band keys don't starve recall). Defaults give
+    * 8 × 16-bit tables = 128 planes: 2^16 buckets per table, near-dup
+    * recall ≈ 0.8 at cosine 0.95 (1 − (1 − p^16)^8, p = 1 − θ/π), and a
+    * `maxBucketSize` cap that bounds candidate pairs at O(N·bands·cap)
+    * even on a degenerate corpus (all-identical vectors) — dropped buckets
+    * are counted, not silently ignored ([[oversizedBuckets]]), mirroring
+    * [[graft.dedup.MinHashLSH.Params.maxBucketSize]]. */
+  final case class LshParams(
+      bitsPerBand: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 256) {
+    require(bitsPerBand >= 1 && bitsPerBand <= 64, s"bitsPerBand out of range: $bitsPerBand")
+    require(bands >= 1, s"bands out of range: $bands")
+    require(maxBucketSize >= 2, s"maxBucketSize out of range: $maxBucketSize")
+  }
+
+  /** (id, band_idx, band_val) rows — one compiled [[graft.functions.HyperplaneBands]]
+    * pass computes every table's key; ids only, embeddings never enter the
+    * band shuffle. posexplode_outer: the array is provably non-empty, and the
+    * outer form stops the optimizer from inferring a size>0 filter that
+    * would inline the kernel expression. */
+  private def bandedIds(df: DataFrame, idName: String, p: LshParams): DataFrame =
+    df.select(col("vec_id").as(idName),
+        VectorFunctions.hyperplane_bands(col("embedding"), p.bitsPerBand, p.bands).as("bvs"))
+      .select(col(idName), posexplode_outer(col("bvs")).as(Seq("band_idx", "band_val")))
+
+  /** Deduped candidate pairs (id_a < id_b) from the capped band buckets —
+    * the stage before exact-cosine verification, exposed so callers and
+    * tests can bound candidate volume (≤ N·bands·maxBucketSize/2 on any
+    * corpus). Carries ONLY ids. */
+  def candidatePairs(corpus: DataFrame, p: LshParams = LshParams()): DataFrame = {
+    val buckets = bandedIds(corpus, "vec_id", p)
+      .groupBy("band_idx", "band_val")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")).between(2, p.maxBucketSize))
+    graft.functions.PairGen.unorderedPairs(buckets, "ids").distinct()
+  }
+
+  /** Buckets whose size exceeded maxBucketSize (dropped from candidate
+    * generation) — the observable for the cap, same contract as
+    * [[graft.dedup.MinHashLSH.oversizedBuckets]]. */
+  def oversizedBuckets(corpus: DataFrame, p: LshParams = LshParams()): DataFrame =
+    bandedIds(corpus, "vec_id", p)
+      .groupBy("band_idx", "band_val").count()
+      .filter(col("count") > p.maxBucketSize)
+
+  /** LSH-bucketed ANN: candidates share a band-table bucket with the query,
+    * re-ranked by exact cosine.
+    *
+    * Scale shape: band join and candidate dedup carry ONLY ids (the
+    * embeddings re-join afterwards, each moving once per id instead of once
+    * per candidate pair); corpus buckets over `maxBucketSize` are dropped
+    * (counted via [[oversizedBuckets]]), bounding per-query candidates at
+    * bands·cap on any corpus. Recall < 1 by construction; emitted scores
+    * are exact. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    val r = nPlanes / bands
-    require(r * bands == nPlanes)
-    // HOF-free band explosion: bands is a compile-time constant, so the band
-    // values are `bands` explicit struct expressions exploded from a literal
-    // array — everything stays in whole-stage codegen (transform() lambdas
-    // always run interpreted). explode_outer, not explode: the array is
-    // provably non-empty, and the outer form stops the optimizer from
-    // inferring a size>0 filter that would inline the signature expression.
-    def banded(df: DataFrame, idName: String, embName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(embName),
-          signature(col("embedding"), nPlanes).as("sig"))
-        .select(col(idName), col(embName), explode_outer(array(
-          (0 until bands).map(b => struct(
-            lit(b).as("band_idx"),
-            call_function("shiftright", col("sig"), lit(b * r))
-              .bitwiseAND(lit((1L << r) - 1)).as("band_val"))): _*)).as("bv"))
-        .select(col(idName), col(embName), col("bv.band_idx"), col("bv.band_val"))
-    val qb = banded(queries, "query_id", "q_emb")
-    val cb = banded(corpus, "cand_id", "c_emb")
-    val cands = qb.join(cb, Seq("band_idx", "band_val"))
+      p: LshParams = LshParams()): DataFrame = {
+    val cb = bandedIds(corpus, "cand_id", p)
+    val smallBuckets = cb.groupBy("band_idx", "band_val").count()
+      .filter(col("count") <= p.maxBucketSize)
+      .select("band_idx", "band_val")
+    val qb = bandedIds(queries, "query_id", p)
+    val cands = qb
+      .join(cb.join(smallBuckets, Seq("band_idx", "band_val")), Seq("band_idx", "band_val"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id", "q_emb", "c_emb")
+      .select("query_id", "cand_id")
       .distinct()
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    cands
+    cands.join(q, Seq("query_id")).join(c, Seq("cand_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
@@ -97,29 +143,23 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH bucketing — the scale
-    * path: only pairs sharing a signature band are scored (recall < 1 by
+    * path: only pairs sharing a band-table bucket are scored (recall < 1 by
     * construction; precision = 1, every emitted pair is exact-cosine
     * verified — AnnSpec asserts the subset property against
-    * [[exactNearDupPairs]]). */
+    * [[exactNearDupPairs]]).
+    *
+    * Scale shape: buckets are collected per (band_idx, band_val) and capped
+    * at `maxBucketSize` (degenerate buckets dropped + counted via
+    * [[oversizedBuckets]]), in-bucket pairing is a codegen generator chain
+    * ([[graft.functions.PairGen]]), and the candidate dedup exchange carries
+    * only (id_a, id_b) — embeddings join back once per id for the exact
+    * verify. Candidate pairs ≤ N·bands·maxBucketSize/2 on ANY corpus. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    val r = nPlanes / bands
-    // HOF-free band explosion — same construction as lshTopK's `banded`
-    val b = corpus.select(col("vec_id"), col("embedding"),
-        signature(col("embedding"), nPlanes).as("sig"))
-      .select(col("vec_id"), col("embedding"), explode_outer(array(
-        (0 until bands).map(i => struct(
-          lit(i).as("band_idx"),
-          call_function("shiftright", col("sig"), lit(i * r))
-            .bitwiseAND(lit((1L << r) - 1)).as("band_val"))): _*)).as("bv"))
-      .select(col("vec_id"), col("embedding"), col("bv.band_idx"), col("bv.band_val"))
-    val l = b.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val rr = b.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    l.join(rr, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+      p: LshParams = LshParams()): DataFrame = {
+    val pairs = candidatePairs(corpus, p)
+    val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    pairs.join(l, Seq("id_a")).join(r, Seq("id_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -57,9 +57,12 @@ object Ivf {
     val queryProbes = assign(queries, m, nProbe = nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("centroid_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    // no candidate dedup needed: each corpus vector lives in exactly ONE
+    // list (nProbe=1 assignment) and a query's probes are distinct centroid
+    // ids, so the equi-join emits every (query, cand) pair at most once —
+    // a distinct here would be a pure extra exchange
     queryProbes.join(corpusLists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id", "q_emb", "c_emb").distinct()
       .withColumn("cos", Ann.cosine(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -103,9 +103,11 @@ object Pq {
     val probes = Ivf.assign(queries, ivf, nProbe = nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"))
+    // no candidate dedup needed: one inverted list per corpus vector
+    // (nProbe=1 assignment) × distinct probe centroids per query ⇒ the join
+    // emits each (query, cand) at most once (see Ivf.topK)
     val approx = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("q_emb"), col("cand_id"), col("code")).distinct()
       .withColumn("acos", Ann.cosine(col("q_emb"), decodeExpr(pq, col("code"))))
     shortlistRerank(approx, corpus, k, shortlist)
   }

@@ -31,8 +31,13 @@ class AnnSpec extends SparkSpec {
   }
 
   test("LSH top-k returns correctly ranked exact cosines over its candidates") {
+    // the fixture has no natural near-dups (max pairwise cosine ≈ 0.51), so
+    // honest 16-bit bands bucket almost nothing together — plant clones to
+    // guarantee candidates, as the driver queries do
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val res = Ann.lshTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+    val clones = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val res = Ann.lshTopK(emb.filter(col("vec_id") < 8), emb.unionByName(clones), k = 5)
     val rows = res.collect()
     assert(rows.nonEmpty)
     // per query: ranks contiguous from 1, cosine non-increasing
@@ -109,6 +114,50 @@ class AnnSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
     // identical vectors share every band, so the cloned pairs MUST be found
     assert(Set((2L, 10002L), (5L, 10005L), (9L, 10009L)).subsetOf(lsh))
+  }
+
+  test("degenerate corpus: bucket cap bounds candidates; drops are counted, planted pair survives") {
+    // 300 IDENTICAL vectors — the adversarial corpus for any LSH: every band
+    // bucket holds all of them, so uncapped banding would generate
+    // ~300²/2 × bands candidate pairs. The cap must drop those buckets
+    // (observably) while a disjoint planted near-dup pair in its own tiny
+    // bucket is still found.
+    val rnd = new scala.util.Random(7)
+    val giant = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val planted = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = ((0 until 300).map(i => (i.toLong, giant)) ++
+      Seq((9000L, planted), (9001L, planted))).toDF("vec_id", "embedding")
+    val p = Ann.LshParams(maxBucketSize = 64)
+    val pairs = Ann.cosineNearDupPairs(corpus, threshold = 0.999, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((9000L, 9001L)),
+      s"expected only the planted pair (degenerate buckets dropped), got ${pairs.size} pairs")
+    val oversized = Ann.oversizedBuckets(corpus, p).collect()
+    assert(oversized.length === p.bands, s"every band's giant bucket must be counted: $oversized")
+    assert(oversized.forall(_.getLong(2) === 300L))
+    // the O(N·bands·cap) bound on generated candidates
+    val candBound = corpus.count() * p.bands * p.maxBucketSize
+    val cands = Ann.candidatePairs(corpus, p).count()
+    assert(cands <= candBound, s"$cands candidates exceeds O(N·bands·cap) = $candBound")
+  }
+
+  test("multi-table 16-bit bands keep high recall on genuine near-dups (cos ≈ 0.99)") {
+    // jitter each fixture vector by ~1% L2 — cosine ≈ 0.999; with 8
+    // independent 16-bit tables expected recall ≈ 1-(1-p^16)^8 ≈ 0.99 at
+    // p ≈ 0.99. Everything is hash-deterministic, so the measured recall is
+    // a fixed number; assert a conservative floor.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val jittered = emb.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + (xxhash64(col("vec_id"), i) % 7).cast("float") / lit(1000f)))
+        .as("embedding"),
+      col("label"))
+    val corpus = emb.unionByName(jittered)
+    val found = Ann.cosineNearDupPairs(corpus, threshold = 0.99)
+      .filter(col("id_b") === col("id_a") + 10000)
+      .count()
+    val total = emb.count()
+    assert(found >= (total * 0.8).toLong, s"recall ${found.toDouble / total} below 0.8")
   }
 
   test("LSH top-1 matches brute force when an exact duplicate exists") {

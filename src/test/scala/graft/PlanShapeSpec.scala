@@ -145,6 +145,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(hofOps(topk).isEmpty, s"ann banding uses HOFs: ${hofOps(topk)}")
   }
 
+  test("LSH candidate dedup: id-only exchanges (embeddings never shuffle), HOF-free pairing") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayFilter, ArrayTransform}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // every exchange in the candidate-pair stage carries ids only — the
+      // round-3 formulation shuffled both embedding arrays through the
+      // distinct (~2·d·4 bytes per candidate instead of 16)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cands = graft.similarity.Ann.candidatePairs(emb)
+      val exchanges = cands.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      val embCols = exchanges.flatMap(_.output).filter(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      assert(embCols.isEmpty, s"embedding columns cross candidate exchanges: $embCols")
+      // the full MinHash pairs plan (incl. in-bucket pairing, round 4's
+      // generator chain) carries no interpreted lambda HOF anywhere
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pairs = graft.dedup.MinHashLSH.nearDupPairs(docs)
+      val hofs = pairs.queryExecution.optimizedPlan.collect {
+        case p if p.expressions.exists(_.exists(e =>
+          e.isInstanceOf[ArrayTransform] || e.isInstanceOf[ArrayFilter] ||
+            e.isInstanceOf[ArrayAggregate])) => p.getClass.getSimpleName
+      }
+      assert(hofs.isEmpty, s"interpreted HOFs in minhash pairs plan: $hofs")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("limit-chain plan reuses the salted exchange instead of rescanning") {
     val (routed, _) = Pipeline.route(Transcripts.fromEvents(spark, sfDir), spark)
     val physical = routed.queryExecution.optimizedPlan.toString
