@@ -13,6 +13,7 @@ import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
 import graft.similarity.Ann
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
+import graft.relational.Tpch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -374,6 +375,14 @@ object SparkEntry {
         .filter(col("quality_score") >= 300)
         .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("scrubbed"))
     }),
+    // ---- relational join analytics over the TPC-H-shaped tables ----
+    // (graft.relational.Tpch — multi-way joins, dim broadcasts, top-k,
+    //  anti-join; money flows as integer cents for cross-engine exactness)
+    "q_tpch_pricing" -> ((s, dir) => Tpch.pricingSummary(s, dir)),
+    "q_tpch_revenue" -> ((s, dir) => Tpch.revenueByPriority(s, dir)),
+    "q_tpch_top_customers" -> ((s, dir) => Tpch.topCustomers(s, dir)),
+    "q_tpch_nation_volume" -> ((s, dir) => Tpch.nationVolume(s, dir)),
+    "q_tpch_idle_customers" -> ((s, dir) => Tpch.customersWithoutBigOrders(s, dir)),
     // multimodal plumbing: REAL image/audio decode (JDK ImageIO + WAV RIFF
     // parse), video stubbed — typed features (rows-only)
     "q_multimodal" -> ((s, dir) =>
@@ -916,6 +925,53 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
                 WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
                 ELSE 'zh' END AS lang_guess
-         FROM s"""
+         FROM s""",
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(floor(l_quantity) AS bigint)) AS bigint) AS sum_qty,
+           cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_base_cents,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS sum_disc_cents,
+           count(*) AS n_items
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_tpch_revenue" ->
+      """SELECT o_orderpriority,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
+           count(*) AS n_items,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderpriority""",
+    "q_tpch_top_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue_cents DESC, c_custkey
+         LIMIT 10""",
+    "q_tpch_nation_volume" ->
+      """SELECT n_name,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
+           count(*) AS n_items
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q_tpch_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         GROUP BY c_mktsegment"""
   )
 }

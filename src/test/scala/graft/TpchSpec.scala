@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.relational.Tpch
+
+/** Relational join family over the TPC-H-shaped tables: result sanity at
+  * sf0.001 (DuckDB parity is the driver's oracle job), intended join
+  * strategies in the plan, and the AQE skew-join split on a deliberately
+  * hot key. */
+class TpchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pricing summary conserves row count and emits exact cents") {
+    val res = Tpch.pricingSummary(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    val items = res.map(_.getAs[Long]("n_items")).sum
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(items === total, "Q1 groups must partition the lineitem table")
+    assert(res.forall(_.getAs[Long]("sum_disc_cents") > 0))
+  }
+
+  test("revenue by priority: every priority positive, orders bounded by items") {
+    val res = Tpch.revenueByPriority(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("revenue_cents") > 0)
+      assert(r.getAs[Long]("n_orders") <= r.getAs[Long]("n_items"))
+    }
+  }
+
+  test("top customers: k rows, strictly ordered by (revenue desc, custkey)") {
+    val res = Tpch.topCustomers(spark, sfDir, k = 10).collect()
+    assert(res.length === 10)
+    val keys = res.map(r => (-r.getAs[Long]("revenue_cents"), r.getAs[Long]("c_custkey")))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq, "output must arrive ordered")
+  }
+
+  test("nation volume: only ASIA nations, local-volume predicate respected") {
+    val asia = spark.read.parquet(s"$sfDir/nation.parquet")
+      .join(spark.read.parquet(s"$sfDir/region.parquet")
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    val res = Tpch.nationVolume(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getString(0)).toSet.subsetOf(asia))
+  }
+
+  test("anti-join: idle customers + their complement partition the customer table") {
+    val idle = Tpch.customersWithoutBigOrders(spark, sfDir)
+      .agg(sum(col("n_customers"))).head.getLong(0)
+    val semi = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_totalprice") > 400000.0),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(idle > 0, "fixture must contain idle customers")
+    assert(idle + semi === total, "anti + semi must partition customers")
+  }
+
+  test("plan shapes: tiny dims broadcast, top-k avoids global sort, filters push down, no cartesian") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nv = Tpch.nationVolume(spark, sfDir).queryExecution.executedPlan.toString
+      assert(nv.contains("BroadcastHashJoin"), "nation/region must broadcast")
+      assert(!nv.contains("CartesianProduct"), "no cartesian in the 6-way join")
+      val tc = Tpch.topCustomers(spark, sfDir).queryExecution.executedPlan.toString
+      assert(tc.contains("TakeOrderedAndProject"),
+        "top-k must be TakeOrdered (per-partition heap), not a global Sort+Limit")
+      val rv = Tpch.revenueByPriority(spark, sfDir).queryExecution.executedPlan.toString
+      assert(rv.contains("EqualTo(c_mktsegment,BUILDING)"),
+        s"segment filter must reach the customer parquet scan:\n$rv")
+      val ic = Tpch.customersWithoutBigOrders(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(ic.contains("LeftAnti"), "idle customers must plan a LEFT ANTI join")
+      assert(ic.contains("GreaterThan(o_totalprice,400000.0)"),
+        "price filter must reach the orders parquet scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("AQE splits the skewed fact join (skew=true in the final plan)") {
+    // ~1/3 of lineitem remapped onto ONE hot orderkey — the hot partition is
+    // many × the others. Thresholds lowered so the 60k-row fixture crosses
+    // them; broadcast disabled so the join stays sort-merge (at 100 TB a
+    // fact⋈fact join IS sort-merge — this is the shape under test).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition(8) first: AQE splits a skewed reduce partition at MAP
+      // OUTPUT granularity, and the single-file fixture scan is one mapper —
+      // a real fact table always has many (at 100 TB, thousands)
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .repartition(8)
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_orderkey")))
+      val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must split the hot partition (OptimizeSkewedJoin):\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
