@@ -190,6 +190,14 @@ object Bench {
       extra += 1
       pair(reps + extra)
     }
+    // severe cross-pair drift (spread_ratios > 0.3 — the round-3 driver run
+    // exhausted base+2 at 0.475): allow up to 4 total extra pairs; if the
+    // ratios STILL spread past 0.3 the run self-describes via reps_exhausted
+    while (extra < 4 && spread(ratios) > 0.30) {
+      extra += 1
+      pair(reps + extra)
+    }
+    val repsExhausted = spread(ratios) > 0.30
     val t4n = times4n.min
     val tn = timesN.min
     val thr4n = rows / t4n
@@ -199,7 +207,7 @@ object Bench {
     val effPairs = median(ratios) / cpuRatio
     val effMedians = (median(timesN.toSeq) / median(times4n.toSeq)) / cpuRatio
     println(
-      f"""{"phase":"scaling_done","scale_rows":$rows,"runs_4n":${arr(times4n.toSeq)},"runs_n":${arr(timesN.toSeq)},"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"efficiency":$effMin%.3f,"efficiency_pair_median":$effPairs%.3f,"efficiency_of_medians":$effMedians%.3f}""")
+      f"""{"phase":"scaling_done","scale_rows":$rows,"runs_4n":${arr(times4n.toSeq)},"runs_n":${arr(timesN.toSeq)},"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"estimator":"min_of_levels","efficiency":$effMin%.3f,"efficiency_min":$effMin%.3f,"efficiency_pair_median":$effPairs%.3f,"efficiency_of_medians":$effMedians%.3f,"reps_exhausted":$repsExhausted}""")
 
     // ---- phase 2: headline e2e at 16 cores (the box's best level) ----
     // amplification sized so parallel work dominates fixed per-job cost
@@ -273,7 +281,7 @@ object Bench {
     val total = queryTimes.map(_._2.sum).sum + headlineRuns.map(_._1).sum +
       times4n.sum + timesN.sum + diag16 + diag4
     println(
-      f"""{"metric":"routed_turns_per_sec","value":$thrHeadline%.1f,"unit":"rows/sec","total_sec":$total%.2f,"queries":$qs,"query_runs":$qruns,"sf":"$sfDir","e2e":{"rows":$rowsHeadline,"sec_16":$tHeadline%.3f,"sec_16_min":${headlineRuns.map(_._1).min}%.3f,"headline_cpus":$cpusHeadline,"variant":"$variant","runs_16":${arr(headlineRuns.map(_._1).toSeq)},"spread_16":${spread(headlineRuns.map(_._1).toSeq)}%.3f,"scale_rows":$rows,"runs_4n":${arr(times4n.toSeq)},"runs_n":${arr(timesN.toSeq)},"spread_4n":${spread(times4n.toSeq)}%.3f,"spread_n":${spread(timesN.toSeq)}%.3f,"pair_ratios":${arr(ratios)},"spread_ratios":${spread(ratios)}%.3f},"scaling":{"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"efficiency":$effMin%.3f,"efficiency_pair_median":$effPairs%.3f,"efficiency_of_medians":$effMedians%.3f,"efficiency_4_16_single_pair":$eff416%.3f,"base_pairs":$reps,"extra_pairs":$extra}}""")
+      f"""{"metric":"routed_turns_per_sec","value":$thrHeadline%.1f,"unit":"rows/sec","total_sec":$total%.2f,"queries":$qs,"query_runs":$qruns,"sf":"$sfDir","e2e":{"rows":$rowsHeadline,"sec_16":$tHeadline%.3f,"sec_16_min":${headlineRuns.map(_._1).min}%.3f,"headline_cpus":$cpusHeadline,"variant":"$variant","runs_16":${arr(headlineRuns.map(_._1).toSeq)},"spread_16":${spread(headlineRuns.map(_._1).toSeq)}%.3f,"scale_rows":$rows,"runs_4n":${arr(times4n.toSeq)},"runs_n":${arr(timesN.toSeq)},"spread_4n":${spread(times4n.toSeq)}%.3f,"spread_n":${spread(timesN.toSeq)}%.3f,"pair_ratios":${arr(ratios)},"spread_ratios":${spread(ratios)}%.3f},"scaling":{"cpus_n":$cpusN,"cpus_4n":$cpus4n,"throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,"estimator":"min_of_levels","efficiency":$effMin%.3f,"efficiency_min":$effMin%.3f,"efficiency_pair_median":$effPairs%.3f,"efficiency_of_medians":$effMedians%.3f,"efficiency_4_16_single_pair":$eff416%.3f,"base_pairs":$reps,"extra_pairs":$extra,"reps_exhausted":$repsExhausted}}""")
   }
 }
 

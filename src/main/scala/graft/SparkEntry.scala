@@ -325,6 +325,11 @@ object SparkEntry {
     // sum, one exchange) with per-session rollup
     "q_sessions" -> ((s, dir) =>
       graft.agg.Sessionize.sessions(Transcripts.fromEvents(s, dir))),
+    // session-aware packing: sessionization composed into the curation
+    // packer at session granularity — a session never splits across packs
+    "q_session_pack" -> ((s, dir) =>
+      graft.agg.Sessionize.sessionPacks(Transcripts.fromEvents(s, dir),
+        maxTokens = 512, nShards = 8)),
     // the FULL curation DAG in one declarative plan: dedup -> quality gate
     // -> lang ID -> mix sample -> scrub -> split -> export shuffle ->
     // per-split packing in export order (every stage's oracle composed into
@@ -388,10 +393,13 @@ object SparkEntry {
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 300)).toDF()
         .select(col("asset_id"), col("kind"), col("ok"), col("checksum"))),
-    // video frame sampling over binary assets (rows-only)
+    // video frame sampling over binary assets — REAL frames since round 4:
+    // MJPEG-AVI container walk + per-frame JPEG decode, checksummed over
+    // decoded pixels (rows-only)
     "q_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleVideoFrames(Multimodal.syntheticAssets(s, 300), everyMs = 5000)
-        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))),
+      Multimodal.sampleVideoFramesDecoded(Multimodal.syntheticAssets(s, 300), everyMs = 500)
+        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"),
+          min(col("checksum")).as("cs_min"))),
     // perceptual near-dup over DECODED media: thumbnail / loudness-envelope
     // embeddings through the cosine-LSH band join (rows-only — DuckDB has no
     // PNG/WAV decoder; MultimodalSpec proves subset-of-exact + planted recall)
@@ -403,6 +411,14 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, dir) =>
       Multimodal.mediaNearDupPairs(
           Multimodal.syntheticAssets(s, 300, dupCycle = 25), "audio", threshold = 0.999)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cos") * lit(10000)).cast("long").as("cos_bp"))),
+    // REAL video near-dup (round 4): MJPEG-AVI decode → temporal-mean frame
+    // thumbnails → cosine-LSH; stub features are fenced out by the `real`
+    // provenance flag (rows-only)
+    "q_video_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDupPairs(
+          Multimodal.syntheticAssets(s, 300, dupCycle = 25), "video", threshold = 0.999)
         .select(col("id_a"), col("id_b"),
           floor(col("cos") * lit(10000)).cast("long").as("cos_bp")))
   )
@@ -725,6 +741,28 @@ object SparkEntry {
                lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
              FROM turns))
          GROUP BY conv_id, session_idx"""),
+    "q_session_pack" -> Oracles.withPipeline(
+      """SELECT conv_id, cast(session_idx AS bigint) AS session_idx,
+           cast(n_tokens AS bigint) AS n_tokens,
+           cast(cast(substr(conv_id, 6, 5) AS bigint) % 8 AS bigint) AS shard,
+           cast(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY cast(substr(conv_id, 6, 5) AS bigint) % 8
+               ORDER BY conv_id, session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS bigint) AS pack_id
+         FROM (
+           SELECT conv_id, session_idx, sum(nt) AS n_tokens FROM (
+             SELECT conv_id, ts, turn_idx,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt,
+               sum(CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) >= 86400000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS session_idx
+             FROM (
+               SELECT conv_id, turn_idx, ts, text,
+                 lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+               FROM turns))
+           GROUP BY conv_id, session_idx)"""),
     "q_curation_full" ->
       """WITH dd AS (
            SELECT doc_id, text, row_number() OVER (

@@ -60,4 +60,34 @@ object Sessionize {
         count(lit(1)).as("n_turns"),
         min(micros(col("ts"))).as("start_us"),
         max(micros(col("ts"))).as("end_us"))
+
+  /** Session-aware sequence packing — [[sessionize]] composed into the
+    * curation DAG's concat-and-chunk packer at SESSION granularity: the
+    * packable unit is a whole session, so a session can never straddle a
+    * pack boundary (the invariant a conversation-aware training loader
+    * needs — [[graft.text.TextAnalysis.packs]] documents the first-token
+    * assignment rule this inherits).
+    *
+    * Plan shape: the sessionize windows and the session rollup share the
+    * (conv_id) partitioning (hashpartitioning(conv_id) satisfies the
+    * (conv_id, session_idx) clustering — no second exchange), then ONE
+    * re-key to (shard) for the per-shard prefix-sum window; parallelism =
+    * nShards, no global sort — the same scale shape as document packing.
+    * The shard key derives from the conv id's numeric suffix so the DuckDB
+    * twin is engine-portable (xxhash64 does not cross engines). */
+  def sessionPacks(turns: DataFrame, gapSeconds: Long = 86400L,
+      maxTokens: Int = 512, nShards: Int = 8): DataFrame = {
+    val sess = sessionize(turns, gapSeconds)
+      .groupBy(col("conv_id"), col("session_idx"))
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("shard", pmod(substring(col("conv_id"), 6, 5).cast("long"), lit(nShards)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("conv_id"), col("session_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sess
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens).cast("long"))
+      .select(col("conv_id"), col("session_idx"), col("n_tokens"),
+        col("shard"), col("pack_id"))
+  }
 }

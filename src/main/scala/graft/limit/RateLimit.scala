@@ -81,9 +81,12 @@ object RateLimit {
             case "discard" =>
               c.curSink = null
             case "alert" =>
-              // the reference declares this action (config/config.go:56-61)
-              // but never implemented it (TODO at broker/connector.go:271);
-              // here: rows pass through unchanged, the breach is recorded
+              // graft extension: the reference validates Action as oneof
+              // fallback|discard (config/config.go:51) and keeps AlertLevel
+              // as an orthogonal field with breach alerting TODO'd
+              // (broker/connector.go:271); mapping AlertLevel onto an action
+              // here, with pass-through matching the reference's default
+              // (unmatched-action) breach path — the breach is recorded
               c.alerted = true
           }
         }

@@ -61,9 +61,15 @@ object SinglePassLimit {
     // Australia/Lord_Howe (+10:30 standard, +11:00 DST) would pass a
     // now()-only check half the year and still misbucket standard-time rows
     import scala.jdk.CollectionConverters._
+    // ... and the HISTORICAL fixed transitions, not only the recurring
+    // rules: a zone with a past non-whole-hour offset and no recurring DST
+    // (Asia/Singapore was +7:30 until 1981) would otherwise pass the guard
+    // while its old-era rows still misbucket
     val offsets = rules.getOffset(java.time.Instant.now()) +:
-      rules.getTransitionRules.asScala.toSeq.flatMap(tr =>
-        Seq(tr.getOffsetBefore, tr.getOffsetAfter))
+      (rules.getTransitionRules.asScala.toSeq.flatMap(tr =>
+        Seq(tr.getOffsetBefore, tr.getOffsetAfter)) ++
+        rules.getTransitions.asScala.toSeq.flatMap(t =>
+          Seq(t.getOffsetBefore, t.getOffsetAfter)))
     val bad = offsets.find(_.getTotalSeconds % 3600 != 0)
     require(bad.isEmpty,
       s"single-pass rate limiting requires a whole-hour-offset session timezone " +

@@ -137,12 +137,29 @@ final class Manifest(root: String) {
     while (true) {
       val tmp = tmpDir.resolve(s"snap-$attempt-${java.util.UUID.randomUUID()}.json")
       Files.writeString(tmp, record(attempt))
+      val target = snapshotDir.resolve(f"snap-$attempt%08d.json")
       try {
-        Files.createLink(snapshotDir.resolve(f"snap-$attempt%08d.json"), tmp)
+        try Files.createLink(target, tmp)
+        catch {
+          case _: UnsupportedOperationException =>
+            // no hard links on this filesystem (overlay / object-store /
+            // FUSE mounts): CREATE_NEW is the same atomic fail-if-exists
+            // claim, at the cost of a content copy instead of a link
+            val ch = Files.newByteChannel(target,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            try ch.write(java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp)))
+            finally ch.close()
+        }
         Files.delete(tmp)
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          attempt = math.max(attempt + 1, currentSnapshotId() + 1)
+        // some platforms surface EEXIST as a generic FileSystemException —
+        // re-check the target before deciding crash vs lost-race
+        case e: java.nio.file.FileSystemException if Files.exists(target) =>
           Files.delete(tmp)
           attempt = math.max(attempt + 1, currentSnapshotId() + 1)
       }

@@ -72,20 +72,28 @@ final class MetricsHttp(root: String, port: Int) {
     * counters are summed across runs (monotone, counter semantics). */
   private def prometheusBody(): String = {
     val sb = new StringBuilder
-    def counter(name: String, help: String,
-        rows: Seq[(String, Long)], label: String = "sink"): Unit = {
+    // exposition-format label escaping: backslash, quote, newline
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    def metric(name: String, help: String, mType: String,
+        rows: Seq[(String, Long)], label: String): Unit = {
       if (rows.nonEmpty) {
-        sb ++= s"# HELP $name $help\n# TYPE $name counter\n"
-        rows.foreach { case (k, v) => sb ++= s"""$name{$label="$k"} $v""" + "\n" }
+        sb ++= s"# HELP $name $help\n# TYPE $name $mType\n"
+        rows.foreach { case (k, v) => sb ++= s"""$name{$label="${esc(k)}"} $v""" + "\n" }
       }
     }
+    def counter(name: String, help: String,
+        rows: Seq[(String, Long)], label: String = "sink"): Unit =
+      metric(name, help, "counter", rows, label)
     val entries = jsonFiles(n => n.endsWith(".json") && !n.startsWith("_"))
     counter("graft_sink_rows_total", "Rows committed per sink",
       entries.map(e => e.get("sink").asText -> e.get("row_count").asLong))
     counter("graft_sink_bytes_total", "Text bytes committed per sink",
       entries.map(e => e.get("sink").asText -> e.get("bytes").asLong))
-    counter("graft_sink_convs", "Distinct conversations committed per sink",
-      entries.map(e => e.get("sink").asText -> e.get("convs").asLong))
+    // gauge, not counter: a re-committed sink re-counts its distinct convs,
+    // so the value can legitimately decrease
+    metric("graft_sink_convs", "Distinct conversations committed per sink",
+      "gauge", entries.map(e => e.get("sink").asText -> e.get("convs").asLong), "sink")
 
     val runs = jsonFiles(n => n.startsWith("_metrics_") && n.endsWith(".json"))
     sb ++= s"# HELP graft_runs_total Completed pipeline runs\n" +

@@ -7,15 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-batched form.
   *
-  * Decode status (round 3): IMAGE and AUDIO decode are REAL —
-  * [[ImageCodec]] rides the JDK's own `javax.imageio` (PNG/JPEG/BMP ship
-  * with `java.desktop`; headless) with a real area-average resample for the
-  * thumbnail embedding, and [[WavCodec]] parses PCM16 WAV RIFF chunks
-  * directly. Only VIDEO decode remains a declared stub ([[FakeDecoder]]) —
-  * it genuinely needs a native library (ffmpeg) absent from the JDK and
-  * this container; the stub keeps the exact signature a JNI/FFM kernel
-  * would have. Everything Spark-side — schema, partitioning, batch shape,
-  * columnar handoff — is real and tested either way.
+  * Decode status (round 4): IMAGE, AUDIO and MJPEG-AVI VIDEO decode are
+  * REAL — [[ImageCodec]] rides the JDK's own `javax.imageio` (PNG/JPEG/BMP
+  * ship with `java.desktop`; headless) with a real area-average resample
+  * for the thumbnail embedding, [[WavCodec]] parses PCM16 WAV RIFF chunks
+  * directly, and [[AviCodec]] walks the AVI RIFF container to its MJPEG
+  * frame chunks (independent baseline JPEGs — ImageIO again). Only
+  * natively-coded video (H.264/VP9 in MP4/WebM) remains the declared stub
+  * ([[FakeDecoder]], reached when the container parse rejects the payload)
+  * — those genuinely need ffmpeg, absent from the JDK and this container;
+  * the stub keeps the exact signature a JNI/FFM kernel would have. Every
+  * feature row carries a `real` provenance flag so stub features can never
+  * silently feed similarity machinery. Everything Spark-side — schema,
+  * partitioning, batch shape, columnar handoff — is real and tested.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so
   *  - the asset table keeps blobs out of the shuffle: transforms key on
@@ -52,7 +56,7 @@ object Multimodal {
   def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
-    val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/mp4")
+    val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/x-msvideo")
     (0 until n).map { i =>
       val kind = kinds(i % 3)
       // generator index: the asset's kind-ordinal folded by dupCycle (i when
@@ -68,18 +72,26 @@ object Multimodal {
           val tone = WavCodec.amTone(8000, ms, 200.0 + g % 800, g.toLong)
           (WavCodec.encodePcm16(8000, tone), None, None, Some(ms))
         case _ =>
-          val len = 64 + (g * 37) % 192
-          (Array.tabulate[Byte](len)(j => ((g * 131 + j * 17) % 256 - 128).toByte),
-            None, None, Some(1000 + (g * 97) % 60000))
+          // REAL MJPEG-AVI bytes (seeded gradient frames, phase-shifted so
+          // frames differ) — decodes through AviCodec + ImageIO
+          val nf = 4 + (g * 3) % 12
+          val fps = 4
+          val vw = 16 + g % 16
+          val vh = 12 + (g * 5) % 12
+          (AviCodec.encodeMjpegAvi(vw, vh, nf, fps, g.toLong),
+            Some(vw), Some(vh), Some(nf * 1000 / fps))
       }
       (i.toLong, kind, mt(kind), payload, w, h, dur)
     }.toDF("asset_id", "kind", "media_type", "payload", "width", "height", "duration_ms")
   }
 
-  final case class Features(ok: Boolean, featDim: Int, checksum: Long,
+  /** `real = false` marks stub-derived features — they can never silently
+    * feed the similarity machinery ([[mediaNearDupPairs]] filters on it). */
+  final case class Features(ok: Boolean, real: Boolean, featDim: Int, checksum: Long,
       brightness: Double, embedding: Array[Float])
 
-  /** Stand-in VIDEO decode kernel: deterministic features from the payload
+  /** Stand-in decode kernel for NATIVELY-CODED video (H.264/VP9 — payloads
+    * the MJPEG-AVI parse rejects): deterministic features from the payload
     * bytes. A real build replaces the body (marked) and nothing else changes. */
   object FakeDecoder {
     def decode(kind: String, payload: Array[Byte]): Features = {
@@ -90,7 +102,7 @@ object Multimodal {
       // embedding DIRECTION must depend on the payload (a constant-valued
       // vector has cosine 1.0 against every other constant vector, which
       // would make any cosine machinery over stub features degenerate)
-      Features(ok = payload.nonEmpty, featDim = 8, checksum = cs,
+      Features(ok = payload.nonEmpty, real = false, featDim = 8, checksum = cs,
         brightness = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
         embedding = Array.tabulate(8)(j =>
           if (payload.isEmpty) 0f else ((cs >>> (8 * j)) & 0xffL).toFloat / 255))
@@ -101,10 +113,12 @@ object Multimodal {
   }
 
   /** Per-kind decode dispatch: REAL image (JDK ImageIO + area-average
-    * thumbnail) and audio (PCM16 WAV + loudness envelope); video → stub. */
+    * thumbnail), audio (PCM16 WAV + loudness envelope) and MJPEG-AVI video
+    * (container walk + per-frame JPEG decode); natively-coded video → stub. */
   object Decoders {
     val ImageThumb = 8 // 8×8 grayscale thumbnail → 64-dim embedding
     val AudioDim = 16 // windowed-RMS loudness envelope
+    val VideoSampleFrames = 8 // frames fused into the temporal-mean embedding
 
     private def fnv(acc: Long, v: Int): Long = (acc ^ (v & 0xffffffffL)) * 1099511628211L
 
@@ -115,28 +129,60 @@ object Multimodal {
             // checksum over DECODED pixels (not file bytes): proves decode.
             // One fused pixel pass — see ImageCodec.analyze.
             val (cs, bright, thumb) = ImageCodec.analyze(img, ImageThumb, ImageThumb)
-            Features(ok = true, featDim = ImageThumb * ImageThumb, checksum = cs,
-              brightness = bright, embedding = thumb)
+            Features(ok = true, real = true, featDim = ImageThumb * ImageThumb,
+              checksum = cs, brightness = bright, embedding = thumb)
           case None =>
-            Features(ok = false, 0, 0L, 0.0, Array.empty)
+            Features(ok = false, real = true, 0, 0L, 0.0, Array.empty)
         }
       case "audio" =>
         WavCodec.decodePcm16(payload) match {
           case Some(wav) =>
             var cs = 1469598103934665603L
             wav.samples.foreach(s => cs = fnv(cs, s.toInt))
-            Features(ok = true, featDim = AudioDim, checksum = cs,
+            Features(ok = true, real = true, featDim = AudioDim, checksum = cs,
               brightness = WavCodec.rms(wav.samples), // loudness in [0,1]
               embedding = WavCodec.rmsProfile(wav.samples, AudioDim))
           case None =>
-            Features(ok = false, 0, 0L, 0.0, Array.empty)
+            Features(ok = false, real = true, 0, 0L, 0.0, Array.empty)
+        }
+      case "video" =>
+        AviCodec.decode(payload) match {
+          case Some(avi) =>
+            // up to 8 evenly-spaced frames, each really decoded (baseline
+            // JPEG via ImageIO), fused into one signature: FNV over the
+            // frames' decoded-pixel checksums, mean luminance, and the
+            // temporal MEAN of the per-frame 8×8 gray thumbnails — the
+            // classic cheap video fingerprint, in the exact embedding
+            // shape the ANN/near-dup operators consume
+            val n = avi.frames.length
+            val idxs =
+              if (n <= VideoSampleFrames) 0 until n
+              else (0 until VideoSampleFrames).map(i => i * n / VideoSampleFrames)
+            val decoded = idxs.map(avi.decodeFrame)
+            if (decoded.exists(_.isEmpty))
+              Features(ok = false, real = true, 0, 0L, 0.0, Array.empty)
+            else {
+              val analyzed = decoded.map(f => ImageCodec.analyze(f.get, ImageThumb, ImageThumb))
+              var cs = 1469598103934665603L
+              analyzed.foreach { case (fcs, _, _) =>
+                cs = (cs ^ fcs) * 1099511628211L
+              }
+              val bright = analyzed.map(_._2).sum / analyzed.size
+              val emb = Array.tabulate(ImageThumb * ImageThumb)(j =>
+                analyzed.map(_._3(j)).sum / analyzed.size)
+              Features(ok = true, real = true, featDim = ImageThumb * ImageThumb,
+                checksum = cs, brightness = bright, embedding = emb)
+            }
+          case None =>
+            // not MJPEG-AVI: natively-coded video — the declared stub path
+            FakeDecoder.decode(kind, payload)
         }
       case _ => FakeDecoder.decode(kind, payload)
     }
   }
 
   final case class AssetFeatures(
-      asset_id: Long, kind: String, ok: Boolean,
+      asset_id: Long, kind: String, ok: Boolean, real: Boolean,
       feat_dim: Int, checksum: Long, brightness: Double, embedding: Array[Float])
 
   /** Partition-batched decode: binary in, typed features out. */
@@ -150,36 +196,67 @@ object Multimodal {
         // per-partition kernel state would be initialized here (decoder ctx)
         it.map { case (id, kind, payload) =>
           val f = Decoders.decode(kind, payload)
-          AssetFeatures(id, kind, f.ok, f.featDim, f.checksum, f.brightness, f.embedding)
+          AssetFeatures(id, kind, f.ok, f.real, f.featDim, f.checksum, f.brightness, f.embedding)
         }
       }
   }
 
   /** Perceptual media near-duplicate pairs: decode → fixed-width embedding
-    * (8×8 gray thumbnail for images, 16-window loudness envelope for audio)
-    * → the embedding-cosine near-dup machinery from
-    * [[graft.similarity.Ann]].
+    * (8×8 gray thumbnail for images, 16-window loudness envelope for audio,
+    * temporal-mean frame thumbnail for MJPEG-AVI video) → the
+    * embedding-cosine near-dup machinery from [[graft.similarity.Ann]].
     *
     * Scale shape: blobs are decoded exactly once inside the mapPartitions
     * kernel and never enter a shuffle — only (asset_id, ≤64 floats) flows
-    * into the LSH band join. `exact = true` switches to the all-pairs
-    * baseline (small-scale recall measurement duty, same contract as
-    * `Ann.exactNearDupPairs`). */
+    * into the LSH band join. The `real` filter keeps stub-derived features
+    * (natively-coded video) out of the cosine machinery by construction.
+    * `exact = true` switches to the all-pairs baseline (small-scale recall
+    * measurement duty, same contract as `Ann.exactNearDupPairs`). */
   def mediaNearDupPairs(assets: DataFrame, kind: String, threshold: Double = 0.98,
       exact: Boolean = false): DataFrame = {
-    require(kind == "image" || kind == "audio",
-      s"near-dup needs a REAL decode; '$kind' features come from the declared stub")
+    require(kind == "image" || kind == "audio" || kind == "video",
+      s"unknown media kind '$kind'")
     val emb = extractFeatures(assets.filter(col("kind") === kind)).toDF()
-      .filter(col("ok"))
+      .filter(col("ok") && col("real"))
       .select(col("asset_id").as("vec_id"), col("embedding"))
     if (exact) graft.similarity.Ann.exactNearDupPairs(emb, threshold)
     else graft.similarity.Ann.cosineNearDupPairs(emb, threshold)
   }
 
-  /** Video frame sampling: one row per sampled frame offset. */
+  /** Video frame sampling from METADATA: one row per nominal frame offset
+    * (no decode — the planning-side shape, e.g. for cost estimates). */
   def sampleVideoFrames(assets: DataFrame, everyMs: Int): DataFrame =
     assets
       .filter(col("kind") === "video")
       .select(col("asset_id"), col("duration_ms"),
         explode(sequence(lit(0), col("duration_ms") - 1, lit(everyMs))).as("frame_ms"))
+
+  final case class SampledFrame(asset_id: Long, frame_idx: Int, frame_ms: Int,
+      checksum: Long, brightness: Double)
+
+  /** REAL video frame sampling: parse the MJPEG-AVI container once per
+    * asset, decode one frame per `everyMs` of timeline (ImageIO), emit its
+    * decoded-pixel checksum + mean luminance. Containers the parse rejects
+    * (natively-coded video) contribute no rows — no stub data leaks into a
+    * "decoded frames" result. Blobs never shuffle: decode runs in the scan
+    * stage, only (asset_id, idx, ms, checksum, brightness) flows out. */
+  def sampleVideoFramesDecoded(assets: DataFrame, everyMs: Int): Dataset[SampledFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("kind") === "video")
+      .select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AviCodec.decode(payload).toSeq.flatMap { avi =>
+            val step = math.max(1, (everyMs * 1000L / avi.usPerFrame).toInt)
+            (0 until avi.frames.length by step).flatMap { i =>
+              avi.decodeFrame(i).map { img =>
+                val (cs, bright, _) = ImageCodec.analyze(img, 1, 1)
+                SampledFrame(id, i, (i.toLong * avi.usPerFrame / 1000L).toInt, cs, bright)
+              }
+            }
+          }
+        }
+      }
+  }
 }

@@ -98,9 +98,13 @@ object StatefulLimiter extends Serializable {
                     case "fallback" if depth < 4 =>
                       admit(row, r.fallbackSink.get, depth + 1)
                     case "alert" =>
-                      // the reference declares this action but never implemented
-                      // it (broker/connector.go:271 TODO): rows pass through and
-                      // are accounted; the breach is recorded, not re-dispatched
+                      // graft extension mapping the reference's orthogonal
+                      // AlertLevel field onto an action (the reference
+                      // validates oneof fallback|discard, config/config.go:51,
+                      // and TODOs breach alerting at broker/connector.go:271):
+                      // rows pass through and are accounted, matching the
+                      // reference's default breach path; the breach is
+                      // recorded, not re-dispatched
                       accountAndEmit()
                     case _ =>
                       // "discard" — or a fallback chain still breaching at max

@@ -184,13 +184,20 @@ object TextAnalysis {
     * same way).
     *
     * Shape: posexplode → distinct-per-doc df aggregation (map-side combined;
-    * the shuffle carries (unit, doc_id), never documents) → broadcast
-    * anti-join against the hot set (corpus-wide frequent units are FEW by
-    * construction) → per-doc ordered reassembly keyed by doc_id. At 100 TB
-    * the unit key would be xxhash64(unit) (8 bytes); the string key is kept
-    * so DuckDB twins the pipeline exactly. */
+    * the shuffle carries (unit, doc_id), never documents) → anti-join
+    * against the hot set → per-doc ordered reassembly keyed by doc_id.
+    * The hot set is broadcast only after a guarded count: "frequent units
+    * are few by construction" holds for sane `minDf`, but a tiny `minDf`
+    * makes the hot set corpus-sized and an unconditional `broadcast()`
+    * would OOM the driver — above `maxBroadcastUnits` the anti-join runs
+    * shuffled instead (same rows, bigger exchange, no driver risk). The
+    * hot set is persisted (spills to disk) so the guard count and the join
+    * share one computation. At 100 TB the unit key would be xxhash64(unit)
+    * (8 bytes); the string key is kept so DuckDB twins the pipeline
+    * exactly. */
   def stripFrequentUnits(docs: DataFrame, minDf: Int, sep: String = "\n",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastUnits: Long = 1000000L): DataFrame = {
     val units = docs.select(col(idCol).as("doc_id"),
       posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "unit")))
@@ -199,7 +206,13 @@ object TextAnalysis {
       .groupBy(col("u")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("u"))
-    units.join(broadcast(hot), trim(units("unit")) === hot("u"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // limit(max+1): the guard needs only "over the threshold?", never the
+    // full count — the scan stops as soon as the answer is known
+    val overCap = hot.limit(math.min(maxBroadcastUnits + 1, Int.MaxValue.toLong).toInt)
+      .count() > maxBroadcastUnits
+    val hotSide = if (overCap) hot else broadcast(hot)
+    units.join(hotSide, trim(units("unit")) === hot("u"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("unit")))),

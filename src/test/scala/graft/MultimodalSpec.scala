@@ -20,10 +20,12 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() === 50)
     assert(feats.filter(!col("ok")).count() === 0)
     // real per-kind decode: 8x8 gray thumbnail, 16-window loudness envelope,
-    // 8-dim video stub
+    // temporal-mean frame thumbnail for MJPEG-AVI video
     val dims = feats.toDF().groupBy("kind").agg(collect_set("feat_dim").as("d"))
       .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSet).toMap
-    assert(dims === Map("image" -> Set(64), "audio" -> Set(16), "video" -> Set(8)))
+    assert(dims === Map("image" -> Set(64), "audio" -> Set(16), "video" -> Set(64)))
+    assert(feats.filter(!col("real")).count() === 0,
+      "every fixture asset decodes through a real kernel now")
   }
 
   test("image decode is real: PNG roundtrip is pixel-exact and thumbnail is in range") {
@@ -100,18 +102,61 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.get.samples.toSeq === tone.toSeq)
   }
 
-  test("video near-dup is rejected: stub features must not feed the cosine machinery") {
-    val assets = Multimodal.syntheticAssets(spark, 9)
-    intercept[IllegalArgumentException] {
-      Multimodal.mediaNearDupPairs(assets, "video")
-    }
+  test("video decode is real: MJPEG-AVI roundtrip, per-frame JPEG decode, hostile input") {
+    import graft.multimodal.{AviCodec, ImageCodec}
+    val bytes = AviCodec.encodeMjpegAvi(20, 14, nFrames = 6, fps = 4, seed = 9L)
+    val avi = AviCodec.decode(bytes).get
+    assert(avi.width === 20 && avi.height === 14)
+    assert(avi.frames.length === 6)
+    assert(avi.usPerFrame === 250000 && avi.durationMs === 1500)
+    // every frame chunk decodes as a real JPEG with the container dimensions
+    val imgs = (0 until 6).map(avi.decodeFrame(_).get)
+    assert(imgs.forall(i => i.getWidth === 20 && i.getHeight === 14))
+    // frames are phase-shifted: decoded-pixel checksums must all differ
+    val css = imgs.map(i => ImageCodec.analyze(i, 1, 1)._1)
+    assert(css.distinct.length === 6, "frames must decode to distinct content")
+    // decode is deterministic
+    val again = AviCodec.decode(bytes).get
+    assert((0 until 6).forall(i =>
+      ImageCodec.analyze(again.decodeFrame(i).get, 1, 1)._1 === css(i)))
+    // JPEG is lossy but sane: mean luminance survives the roundtrip closely
+    val src = ImageCodec.decode(ImageCodec.encodePng(20, 14, seed = 9L)).get
+    assert(math.abs(ImageCodec.brightness(imgs.head) - ImageCodec.brightness(src)) < 20.0)
+    // hostile input: garbage, truncation mid-frame, zero-length — None, no throw
+    assert(AviCodec.decode("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(AviCodec.decode(bytes.take(bytes.length / 2)).isEmpty ||
+      AviCodec.decode(bytes.take(bytes.length / 2)).get.frames.length < 6)
+    assert(AviCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("stub provenance fencing: non-AVI video features carry real=false and never reach cosine") {
+    val rows = Seq(
+      (0L, "video", "video/mp4",
+        Array.tabulate[Byte](128)(j => ((j * 17) % 256 - 128).toByte), // not AVI → stub
+        Option.empty[Int], Option.empty[Int], Some(2000)),
+      (1L, "video", "video/x-msvideo",
+        graft.multimodal.AviCodec.encodeMjpegAvi(16, 12, 4, 4, 1L),
+        Some(16), Some(12), Some(1000)),
+      (2L, "video", "video/x-msvideo",
+        graft.multimodal.AviCodec.encodeMjpegAvi(16, 12, 4, 4, 1L), // byte-identical dup
+        Some(16), Some(12), Some(1000)))
+    import spark.implicits._
+    val assets = rows.toDF("asset_id", "kind", "media_type", "payload",
+      "width", "height", "duration_ms")
+    val feats = Multimodal.extractFeatures(assets).collect().map(f => f.asset_id -> f).toMap
+    assert(!feats(0L).real && feats(0L).feat_dim === 8, "non-AVI video must be stub-flagged")
+    assert(feats(1L).real && feats(1L).ok && feats(1L).feat_dim === 64)
+    // near-dup sees ONLY the real pair; the stub asset is fenced out
+    val pairs = Multimodal.mediaNearDupPairs(assets, "video", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
   }
 
   test("perceptual near-dup finds every planted duplicate; LSH path is a subset of exact") {
     // 90 assets, dupCycle=10: 30 images = 10 distinct contents x 3 byte-identical
     // replicas (same for audio) -> C(3,2)*10 = 30 planted pairs per kind
     val assets = Multimodal.syntheticAssets(spark, 90, dupCycle = 10)
-    for (kind <- Seq("image", "audio")) {
+    for (kind <- Seq("image", "audio", "video")) {
       val exact = Multimodal.mediaNearDupPairs(assets, kind, threshold = 0.9999, exact = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val lsh = Multimodal.mediaNearDupPairs(assets, kind, threshold = 0.9999)
@@ -144,5 +189,28 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("count") =!= col("exp")).count()
     assert(bad === 0)
     assert(frames.count() === assets.filter(col("kind") === "video").count())
+  }
+
+  test("decoded frame sampling: real frames at the everyMs cadence, distinct checksums") {
+    // fixture videos run at 4 fps (250 ms/frame): everyMs=500 → every 2nd
+    // frame → ceil(nFrames / 2) rows per asset, each a REAL JPEG decode
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val frames = Multimodal.sampleVideoFramesDecoded(assets, everyMs = 500)
+    val perAsset = frames.groupBy("asset_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nFrames = assets.filter(col("kind") === "video")
+      .select(col("asset_id"), (col("duration_ms") / 250).cast("long").as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perAsset.keySet === nFrames.keySet, "every fixture AVI must parse")
+    nFrames.foreach { case (id, nf) =>
+      assert(perAsset(id) === (nf + 1) / 2, s"asset $id: ${perAsset(id)} vs nf=$nf")
+    }
+    val rows = frames.collect()
+    assert(rows.forall(f => f.frame_ms === f.frame_idx * 250))
+    // checksums are over decoded pixels; phase-shifted frames must differ
+    rows.groupBy(_.asset_id).foreach { case (id, fs) =>
+      assert(fs.map(_.checksum).distinct.length === fs.length,
+        s"asset $id: sampled frames decode to identical pixels")
+    }
   }
 }

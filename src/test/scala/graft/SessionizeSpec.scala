@@ -122,4 +122,45 @@ class SessionizeSpec extends SparkSpec {
     val plan = Sessionize.sessionize(turns).queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).length === 1, plan.take(1200))
   }
+
+  test("session-aware packing: no session splits, first-token rule holds, two exchanges") {
+    // needs the full transcript schema (text + conv-NNNNN ids for the
+    // portable shard key) — the suite's handcrafted fixture has neither.
+    // Parquet round-trip so the plan assertion sees the OPERATOR's
+    // exchanges, not the fixture derivation's own window shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spack").toString
+    graft.model.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val packs = Sessionize.sessionPacks(full, gapSeconds = 1800L,
+      maxTokens = 64, nShards = 4)
+    val rows = packs.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // one pack per session by construction — and the whole-session turn join
+    // agrees: every turn of a session lands in its session's single pack
+    val turnPacks = Sessionize.sessionize(full, 1800L)
+      .join(packs, Seq("conv_id", "session_idx"))
+      .groupBy(col("conv_id"), col("session_idx"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"))
+      .filter(col("n_packs") =!= 1).count()
+    assert(turnPacks === 0L, "a session straddled a pack boundary")
+    // first-token rule, recomputed independently: within a shard (in
+    // (conv, session) order) a session's pack is floor(prefix / maxTokens)
+    rows.groupBy(_._4).foreach { case (shard, ss) =>
+      var prefix = 0L
+      ss.sortBy(s => (s._1, s._2)).foreach { case (conv, sess, nt, _, packId) =>
+        assert(packId === prefix / 64, s"shard $shard $conv/$sess: $packId vs prefix $prefix")
+        prefix += nt
+      }
+    }
+    // shards partition conversations: a conversation never crosses shards
+    assert(rows.groupBy(_._1).forall { case (_, ss) => ss.map(_._4).distinct.length == 1 })
+    // plan: conv-partition windows + session rollup share ONE exchange; the
+    // per-shard prefix window re-keys once — exactly two (count the FINAL
+    // AQE plan only; the string repeats every exchange in the initial plan)
+    val plan = packs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).length === 2, plan.take(1500))
+  }
 }

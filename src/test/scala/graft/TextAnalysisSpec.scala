@@ -180,6 +180,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.count() === 5)
   }
 
+  test("broadcast guard: oversized hot set falls back to a shuffled anti-join, same rows") {
+    // minDf=1 makes EVERY distinct unit hot (the pathological caller the
+    // guard exists for) — with a tiny cap the plan must not broadcast, and
+    // a doc of all-hot units still disappears exactly as in broadcast mode
+    // autoBroadcastJoinThreshold=-1 models the 100 TB reality where the
+    // planner's size estimate refuses broadcast — isolating the explicit
+    // broadcast() hint, which is exactly what the guard makes conditional
+    val prevs = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val guarded = TextAnalysis.stripFrequentUnits(docs, minDf = 2, sep = " ",
+        maxBroadcastUnits = 10)
+      assert(!guarded.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "over-cap hot set must not be broadcast")
+      val broadcasted = TextAnalysis.stripFrequentUnits(docs, minDf = 2, sep = " ")
+      assert(broadcasted.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "under-cap hot set keeps the broadcast hint even when the planner would not")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(canon(guarded) === canon(broadcasted), "guard must not change results")
+      // the degenerate minDf=1 run completes without a driver-side blow-up
+      val allHot = TextAnalysis.stripFrequentUnits(docs, minDf = 1, sep = " ",
+        maxBroadcastUnits = 10)
+      assert(allHot.count() === 0L, "every unit hot => every doc emptied and dropped")
+    } finally prevs.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("stratified sampling: rate extremes, md5-threshold membership, stratum independence") {
     val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "und"))
       .toDF("doc_id", "lang")
