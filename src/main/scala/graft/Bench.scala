@@ -51,7 +51,10 @@ object Bench {
     // (q_ann_pq is excluded: its time is ~95% one-off k-means index BUILD,
     // which would misrepresent the query phase — the ANN query family is
     // already represented by q_ann_lsh.)
-    "q_curation_full")
+    "q_curation_full",
+    // round-4 relational join family: the fact⋈fact shuffle join with a
+    // broadcast dim (Q3-shaped) and the 6-way Q5-shaped join
+    "q_tpch_revenue", "q_tpch_nation_volume")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

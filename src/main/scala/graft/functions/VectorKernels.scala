@@ -49,21 +49,49 @@ object VectorKernelsImpl {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** JVM-wide cache of the deterministic hyperplane sign matrix
+    * sign_p(d) = +1 if xxhash64(d, xxhash64(p, 42)) is even else -1.
+    * Executors regenerate it locally (zero broadcast, a few KB); growing it
+    * is idempotent — values only depend on (p, d) — so the hot path reads
+    * the volatile reference lock-free and the signature kernels become pure
+    * multiply-adds instead of 2 hash calls per plane×dim per ROW (at 128
+    * planes × d=64 that was ~16 k hashes per input row). */
+  private object SignCache {
+    @volatile private var signs: Array[Array[Byte]] = Array.empty
+    def get(nPlanes: Int, nDims: Int): Array[Array[Byte]] = {
+      val s = signs
+      if (s.length >= nPlanes && (nPlanes == 0 || s(0).length >= nDims)) s
+      else synchronized {
+        val cur = signs
+        if (cur.length >= nPlanes && (nPlanes == 0 || cur(0).length >= nDims)) cur
+        else {
+          val np = math.max(nPlanes, cur.length)
+          val nd = math.max(nDims, if (cur.isEmpty) 0 else cur(0).length)
+          val grown = Array.tabulate(np) { p =>
+            val hp = XXH64.hashInt(p, 42L) // xxhash64's default seed
+            Array.tabulate(nd)(d => if (XXH64.hashInt(d, hp) % 2 == 0) 1.toByte else -1.toByte)
+          }
+          signs = grown
+          grown
+        }
+      }
+    }
+  }
+
   /** nPlanes-bit sign signature: bit p set iff Σ_d emb[d]·sign_p(d) > 0,
-    * where sign_p(d) = +1 if xxhash64(p, d) is even else -1 (the same
-    * deterministic pseudo-random hyperplane family as the HOF version:
-    * executors regenerate the planes, zero broadcast). */
+    * with sign_p from the cached deterministic hyperplane family. */
   def hyperplaneSig(emb: ArrayData, nPlanes: Int, isFloat: Boolean): Long = {
     val n = emb.numElements()
+    val signs = SignCache.get(nPlanes, n)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
-      val hp = XXH64.hashInt(p, 42L) // xxhash64's default seed
+      val sp = signs(p)
       var proj = 0.0
       var d = 0
       while (d < n) {
         val x = elem(emb, d, isFloat)
-        proj += (if (XXH64.hashInt(d, hp) % 2 == 0) x else -x)
+        proj += (if (sp(d) > 0) x else -x)
         d += 1
       }
       if (proj > 0) sig |= (1L << p)
@@ -81,19 +109,19 @@ object VectorKernelsImpl {
     * an independent 2^bits-bucket hash table, not a slice of one table. */
   def hyperplaneBands(emb: ArrayData, bits: Int, bands: Int, isFloat: Boolean): ArrayData = {
     val n = emb.numElements()
+    val signs = SignCache.get(bands * bits, n)
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
       var sig = 0L
       var i = 0
       while (i < bits) {
-        val p = b * bits + i
-        val hp = XXH64.hashInt(p, 42L) // xxhash64's default seed
+        val sp = signs(b * bits + i)
         var proj = 0.0
         var d = 0
         while (d < n) {
           val x = elem(emb, d, isFloat)
-          proj += (if (XXH64.hashInt(d, hp) % 2 == 0) x else -x)
+          proj += (if (sp(d) > 0) x else -x)
           d += 1
         }
         if (proj > 0) sig |= (1L << i)

@@ -92,6 +92,27 @@ object Tpch {
       .groupBy(col("n_name"))
       .agg(sum(revenueCents).as("revenue_cents"), count(lit(1)).as("n_items"))
 
+  /** Co-located (bucketed) join support: writing both fact tables bucketed
+    * by the join key lets every subsequent join on that key run with ZERO
+    * exchange — the scan itself provides the hash clustering, so at 100 TB
+    * a nightly-repeated orders⋈lineitem pays the shuffle once at ingest
+    * instead of per query (the Hive-bucketing strategy; BucketJoinSpec
+    * asserts the exchange-free, sort-free SMJ plan and row parity vs the
+    * shuffled join). The repartition ON THE KEY before the write is the
+    * ingest-time shuffle being prepaid — and because it uses the same hash
+    * bucketBy applies, each task holds exactly one bucket, so every bucket
+    * is ONE file and `sortBy` pre-sorts it: Spark then elides both the
+    * exchange AND the sort under later SMJs (multi-file buckets keep their
+    * per-file sort but still need the merge sort). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Anti-join shape: customers with NO order above the price threshold,
     * counted by market segment. The right side is filtered before the join
     * (predicate pushdown), and LEFT ANTI ships only the join key. */
