@@ -24,9 +24,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *                       incl. per-stage scan/parse/route rows)
   *   GET /snapshots    → JSON array of the append-only snapshot commit log
   *   GET /metrics      → Prometheus text exposition of the same cells
+  *   GET /cluster      → live executor roster + per-executor task/storage
+  *                       stats from the SparkContext status tracker — the
+  *                       analog of the reference's cluster view
+  *                       (web/api/cluster.go:21-60); `?node=host:port`
+  *                       narrows to one executor the way the reference's
+  *                       `?node=` proxies a single node's stats. Requires
+  *                       a live session (pass `spark`); absent one the
+  *                       route reports the sidecar state.
   *   GET /healthz      → "ok"
   */
-final class MetricsHttp(root: String, port: Int) {
+final class MetricsHttp(root: String, port: Int,
+    spark: Option[org.apache.spark.sql.SparkSession] = None) {
   private val manifestDir = Paths.get(root, "_manifest")
   private val snapshotDir = Paths.get(root, "_snapshots")
   private var server: Option[HttpServer] = None
@@ -130,6 +139,50 @@ final class MetricsHttp(root: String, port: Int) {
     sb.result()
   }
 
+  /** Query-param-aware handler (the plain one ignores the request URI). */
+  private def paramHandler(body: Map[String, String] => String,
+      contentType: String = "application/json"): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val bytes = body(params).getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", contentType)
+      ex.sendResponseHeaders(200, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+
+  /** Live executor roster + per-executor task/storage stats — the cluster
+    * view. In Spark the "nodes" the reference proxies with `?node=` are the
+    * executors, and the driver's status tracker already aggregates their
+    * heartbeats, so this is a read, not a fan-out of HTTP calls. */
+  private def clusterBody(params: Map[String, String]): String = spark match {
+    case None =>
+      """{"mode":"sidecar","error":"no live SparkSession attached","executors":[]}"""
+    case Some(s) =>
+      val st = s.sparkContext.statusTracker
+      val node = params.get("node")
+      val execs = st.getExecutorInfos.toSeq
+        .map(e => (s"${e.host}:${e.port}", e))
+        .filter { case (id, _) => node.forall(_ == id) }
+        .map { case (id, e) =>
+          s"""{"node":"$id","running_tasks":${e.numRunningTasks()},""" +
+            s""""cache_size":${e.cacheSize()},""" +
+            s""""used_onheap_storage":${e.usedOnHeapStorageMemory()},""" +
+            s""""used_offheap_storage":${e.usedOffHeapStorageMemory()},""" +
+            s""""total_onheap_storage":${e.totalOnHeapStorageMemory()},""" +
+            s""""total_offheap_storage":${e.totalOffHeapStorageMemory()}}"""
+        }
+      s"""{"mode":"live","executors":[${execs.mkString(",")}],""" +
+        s""""default_parallelism":${s.sparkContext.defaultParallelism},""" +
+        s""""active_jobs":${st.getActiveJobIds().mkString("[", ",", "]")},""" +
+        s""""active_stages":${st.getActiveStageIds().mkString("[", ",", "]")}}"""
+  }
+
   /** Starts the server; returns the bound port (use port=0 for ephemeral). */
   def start(): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -143,6 +196,7 @@ final class MetricsHttp(root: String, port: Int) {
         dir = snapshotDir)))
     s.createContext("/metrics",
       handler(() => prometheusBody(), contentType = "text/plain; version=0.0.4"))
+    s.createContext("/cluster", paramHandler(clusterBody))
     s.setExecutor(null) // single-threaded: a monitoring sidecar, not a data path
     s.start()
     server = Some(s)

@@ -46,6 +46,15 @@ object StreamingPipeline {
   def routedStream(turns: DataFrame, rules: Seq[RouteRule] = Router.defaultRules): DataFrame =
     Router.fanOut(GrokParser.parse(turns), rules)
 
+  /** Stream-static enrichment: the batch broadcast-dim join applied to a
+    * stream. Spark re-plans the static side per micro-batch, so a refreshed
+    * dimension table is picked up without restarting the query — the
+    * streaming analog of the reference's connector-config lookup attached
+    * at enrich time. Stateless (no watermark needed): the static side is
+    * O(10) rows and broadcast, the stream side never shuffles for it. */
+  def enrichedStream(turns: DataFrame): DataFrame =
+    graft.enrich.Enrichment.enrich(GrokParser.parse(turns), turns.sparkSession)
+
   /** Per-sink tumbling-window byte totals with a watermark — the streaming
     * form of the rate-limit bucket store (L1). */
   def sinkWindowBytes(

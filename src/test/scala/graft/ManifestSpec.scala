@@ -185,6 +185,51 @@ class ManifestSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("cluster view endpoint: executor roster, ?node= filter, sidecar degradation") {
+    val out = Files.createTempDirectory("graft-cluster").toString
+    val srv = new graft.manifest.MetricsHttp(out, 0, spark = Some(spark))
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val cluster = om.readTree(get("/cluster"))
+      assert(cluster.get("mode").asText() === "live")
+      val execs = cluster.get("executors")
+      assert(execs.size() >= 1, "local mode must report the driver executor")
+      assert(cluster.get("default_parallelism").asInt() === 4)
+      val first = execs.get(0)
+      assert(first.has("node") && first.has("running_tasks")
+        && first.has("total_onheap_storage"))
+      // ?node= narrows to one executor (the reference's per-node proxy shape)
+      val id = first.get("node").asText()
+      val one = om.readTree(get(s"/cluster?node=${java.net.URLEncoder.encode(id, "UTF-8")}"))
+      assert(one.get("executors").size() === 1)
+      assert(om.readTree(get("/cluster?node=nope:0")).get("executors").size() === 0)
+      // sidecar mode (no session attached) degrades, not crashes
+      val side = new graft.manifest.MetricsHttp(out, 0)
+      val sp = side.start()
+      try {
+        val body = om.readTree(get2(sp, "/cluster"))
+        assert(body.get("mode").asText() === "sidecar")
+        assert(body.get("executors").size() === 0)
+      } finally side.stop()
+    } finally srv.stop()
+  }
+
+  private def get2(port: Int, path: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   test("snapshot commit log: concurrent commits linearize, records never rewritten") {
     val out = Files.createTempDirectory("graft-snap").toString
     val m = new Manifest(out)

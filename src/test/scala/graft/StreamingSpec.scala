@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment equals the batch broadcast join, incl. the null path") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-senrich").toString
+    Transcripts.synthetic(spark, nConvs = 20, turnsPerConv = 6)
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingPipeline.enrichedStream(
+        StreamingPipeline.readTurns(spark, dir, maxFilesPerTrigger = 2))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("senrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "tool", "team", "cost_class")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).sorted
+    val streamed = canon(spark.table("senrich_out"))
+    val batch = canon(graft.enrich.Enrichment.enrich(
+      graft.parse.GrokParser.parse(spark.read.parquet(dir)), spark))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // the left-join null path (unmatched tool) must survive the stream too
+    assert(streamed.exists(_._4.isEmpty) === batch.exists(_._4.isEmpty))
+  }
+
   test("streaming dedup drops re-emitted keys across micro-batches, state bounded by watermark") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = Files.createTempDirectory("graft-sdedup").toString
