@@ -420,7 +420,22 @@ object SparkEntry {
       Multimodal.mediaNearDupPairs(
           Multimodal.syntheticAssets(s, 300, dupCycle = 25), "video", threshold = 0.999)
         .select(col("id_a"), col("id_b"),
-          floor(col("cos") * lit(10000)).cast("long").as("cos_bp")))
+          floor(col("cos") * lit(10000)).cast("long").as("cos_bp"))),
+    // media asset dedup groups: all three kinds' near-dup pairs (real
+    // decodes only) → connected components → one keeper per duplicate
+    // group, the media twin of q_dedup_groups (rows-only)
+    "q_media_dedup_groups" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, 300, dupCycle = 25)
+      val pairs = Seq("image", "audio", "video")
+        .map(k => Multimodal.mediaNearDupPairs(assets, k, threshold = 0.999)
+          .select(col("id_a"), col("id_b")))
+        .reduce(_.unionByName(_))
+      val comp = graft.dedup.Components.connectedComponents(pairs)
+      assets.select(col("asset_id"), col("kind"))
+        .join(comp, col("asset_id") === col("id"), "left")
+        .select(col("asset_id"), col("kind"),
+          coalesce(col("component"), col("asset_id")).as("group"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -74,13 +74,20 @@ object Sessionize {
     * re-key to (shard) for the per-shard prefix-sum window; parallelism =
     * nShards, no global sort — the same scale shape as document packing.
     * The shard key derives from the conv id's numeric suffix so the DuckDB
-    * twin is engine-portable (xxhash64 does not cross engines). */
+    * twin is engine-portable (xxhash64 does not cross engines); the input
+    * contract is the input_hint transcript schema (`conv-NNNNN` ids) — a
+    * non-conforming id would yield a null shard, which the per-row
+    * raise_error guard turns into a fail-fast instead of a silently
+    * misplaced pack. */
   def sessionPacks(turns: DataFrame, gapSeconds: Long = 86400L,
       maxTokens: Int = 512, nShards: Int = 8): DataFrame = {
     val sess = sessionize(turns, gapSeconds)
       .groupBy(col("conv_id"), col("session_idx"))
       .agg(sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
       .withColumn("shard", pmod(substring(col("conv_id"), 6, 5).cast("long"), lit(nShards)))
+      .withColumn("shard", when(col("shard").isNull,
+        raise_error(concat(lit("sessionPacks: conv_id does not match conv-NNNNN: "),
+          col("conv_id"))).cast("long")).otherwise(col("shard")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("conv_id"), col("session_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -61,6 +61,8 @@ object AviCodec {
   /** Spec-shaped container assembly around pre-encoded JPEG frames. */
   def buildAvi(width: Int, height: Int, fps: Int,
       jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpegs.nonEmpty, "an AVI needs at least one frame")
+    require(fps > 0, s"fps out of range: $fps")
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length & 1
       val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)

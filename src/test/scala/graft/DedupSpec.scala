@@ -140,4 +140,15 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(p(0).getDouble(2) - 1.0 / 3.0) < 1e-9)
     assert(NgramJaccard.pairs(d, n = 2, threshold = 0.5).count() === 0)
   }
+
+  test("PairGen emits exactly each bucket's unordered pairs, normalized (id_a < id_b)") {
+    val buckets: Seq[Seq[Long]] = Seq(
+      Seq(5L), Seq.empty, Seq(3L, 9L), Seq(7L, 1L, 4L, 2L), (0L until 6L).toSeq,
+      Seq(9L, 3L)) // a repeated pair across buckets must appear twice (pre-distinct)
+    val got = graft.functions.PairGen.unorderedPairs(buckets.toDF("ids"), "ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = buckets.flatMap(_.combinations(2).map(p => (p.min, p.max))).sorted
+    assert(got === want)
+    assert(got.forall { case (a, b) => a < b })
+  }
 }

@@ -123,6 +123,21 @@ class SessionizeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 1, plan.take(1200))
   }
 
+  test("sessionPacks fails fast on conv ids outside the input_hint contract") {
+    val bad = Seq(("oops", 0, t(0), "some words here"))
+      .toDF("conv_id", "turn_idx", "ts", "text")
+    val e = intercept[Exception] {
+      Sessionize.sessionPacks(bad).collect()
+    }
+    // under ANSI (Spark 4 default) the malformed numeric cast itself fails
+    // fast; with ANSI off the raise_error guard catches the resulting null
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m =>
+      m != null && (m.contains("conv-NNNNN") || m.contains("CAST_INVALID_INPUT"))),
+      s"expected a fail-fast, got: ${e.getMessage}")
+  }
+
   test("session-aware packing: no session splits, first-token rule holds, two exchanges") {
     // needs the full transcript schema (text + conv-NNNNN ids for the
     // portable shard key) — the suite's handcrafted fixture has neither.
