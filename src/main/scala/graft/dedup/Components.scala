@@ -37,11 +37,18 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
 
-    // undirected edge list, self-loops dropped
+    // undirected edge list, self-loops dropped. The LAZY localCheckpoint is
+    // load-bearing: largeStar/smallStar reference the edge set 4+ times per
+    // round, and round 1 would otherwise re-evaluate the caller's FULL edge
+    // lineage once per reference — for LSH-derived edges that lineage is
+    // the whole decode→band→pair pipeline (measured 92 s → 9 s on the
+    // media-dedup graph). The checkpointed set is (long, long) rows — tiny
+    // — and round 1's existing unpersist frees it.
     var g = edges.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .union(edges.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(eager = false)
 
     def largeStar(e: DataFrame): DataFrame = {
       // over the UNDIRECTED adjacency (the loop state is oriented big→small,

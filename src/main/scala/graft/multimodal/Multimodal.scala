@@ -53,7 +53,17 @@ object Multimodal {
     * that period over each kind's ordinal, planting exact duplicate media
     * (byte-identical payloads under distinct asset_ids) — the fixture for
     * the perceptual near-dup operators. */
-  def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame = {
+  private val assetCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), DataFrame]
+
+  def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame =
+    // memoized: the fixture is deterministic and several driver queries use
+    // the same (n, dupCycle); building it is driver-side media ENCODING
+    // (300 PNG + WAV + MJPEG-AVI encodes), the dominant cost of a Verify
+    // run's media tail — the LocalRelation is immutable, reuse is sound
+    assetCache.getOrElseUpdate((spark, n, dupCycle), buildAssets(spark, n, dupCycle))
+
+  private def buildAssets(spark: SparkSession, n: Int, dupCycle: Int): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/x-msvideo")
