@@ -32,4 +32,8 @@ object PairGen {
         size(col("__ids")) - col("__pos") - lit(1))).as("__b"))
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"))
+      // a duplicated id inside one bucket would pair with itself by
+      // POSITION; the value-based formulations this replaces (b > a,
+      // id_a < id_b) never emitted self-pairs — preserve that contract
+      .filter(col("id_a") =!= col("id_b"))
 }

@@ -53,7 +53,7 @@ object SinglePassLimit {
     * two-pass semantic spec buckets on date_trunc('hour') in the SESSION
     * timezone. They agree iff the session offset is a whole number of hours —
     * anything else must use the two-pass path. */
-  private def assertWholeHourTz(spark: SparkSession): Unit = {
+  private[graft] def assertWholeHourTz(spark: SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
     val rules = java.time.ZoneId.of(tz).getRules
     // EVERY offset the zone's rules can produce must be whole-hour — not
@@ -63,13 +63,22 @@ object SinglePassLimit {
     import scala.jdk.CollectionConverters._
     // ... and the HISTORICAL fixed transitions, not only the recurring
     // rules: a zone with a past non-whole-hour offset and no recurring DST
-    // (Asia/Singapore was +7:30 until 1981) would otherwise pass the guard
-    // while its old-era rows still misbucket
+    // (Asia/Singapore was +7:30 until 1982 — its 1982 transition has
+    // offsetBefore +7:30) would otherwise pass the guard while its old-era
+    // rows still misbucket. Era-bounded at the epoch: EVERY geographic zone
+    // has a pre-1900 LMT transition at a seconds-precision offset
+    // (America/New_York −4:56:02, Asia/Tokyo +9:18:59, ...), so scanning
+    // all history would reject every named zone. Post-1970 offsets cover
+    // any timestamp log data can carry; rows BEFORE 1970 in such a zone
+    // would still misbucket — if that ever matters, use RateLimit.apply
+    // (the two-pass path has no timezone restriction).
+    val epoch = java.time.Instant.EPOCH
     val offsets = rules.getOffset(java.time.Instant.now()) +:
       (rules.getTransitionRules.asScala.toSeq.flatMap(tr =>
         Seq(tr.getOffsetBefore, tr.getOffsetAfter)) ++
-        rules.getTransitions.asScala.toSeq.flatMap(t =>
-          Seq(t.getOffsetBefore, t.getOffsetAfter)))
+        rules.getTransitions.asScala.toSeq
+          .filter(_.getInstant.isAfter(epoch))
+          .flatMap(t => Seq(t.getOffsetBefore, t.getOffsetAfter)))
     val bad = offsets.find(_.getTotalSeconds % 3600 != 0)
     require(bad.isEmpty,
       s"single-pass rate limiting requires a whole-hour-offset session timezone " +

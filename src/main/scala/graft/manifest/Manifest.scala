@@ -141,15 +141,34 @@ final class Manifest(root: String) {
       try {
         try Files.createLink(target, tmp)
         catch {
-          case _: UnsupportedOperationException =>
-            // no hard links on this filesystem (overlay / object-store /
-            // FUSE mounts): CREATE_NEW is the same atomic fail-if-exists
-            // claim, at the cost of a content copy instead of a link
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+          // no hard links on this filesystem. Two ways that surfaces: a
+          // provider that doesn't implement createLink at all throws
+          // UnsupportedOperationException; the default unix provider on an
+          // overlay/FUSE/object-store mount surfaces EPERM/ENOTSUP as a
+          // generic FileSystemException with the target absent (when the
+          // target EXISTS it's a platform's EEXIST spelling — a lost race,
+          // handled by the outer catch).
+          case e: Exception if e.isInstanceOf[UnsupportedOperationException] ||
+              (e.isInstanceOf[java.nio.file.FileSystemException] &&
+                !Files.exists(target)) =>
+            // CREATE_NEW is the same atomic fail-if-exists CLAIM, but the
+            // content no longer appears atomically with it — so write fully
+            // (looped: one channel write is not contracted to drain the
+            // buffer) and delete OUR partial claim on any failure, instead
+            // of leaving a truncated record permanently committed
             val ch = Files.newByteChannel(target,
               java.nio.file.StandardOpenOption.WRITE,
               java.nio.file.StandardOpenOption.CREATE_NEW)
-            try ch.write(java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp)))
-            finally ch.close()
+            try {
+              val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp))
+              try { while (buf.hasRemaining) ch.write(buf) } finally ch.close()
+            } catch {
+              case w: Throwable =>
+                try Files.deleteIfExists(target)
+                catch { case _: Throwable => () }
+                throw w
+            }
         }
         Files.delete(tmp)
         return attempt

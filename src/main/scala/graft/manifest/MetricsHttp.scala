@@ -43,10 +43,18 @@ final class MetricsHttp(root: String, port: Int,
   private def listJson(filter: String => Boolean,
       dir: java.nio.file.Path = manifestDir): String = {
     if (!Files.isDirectory(dir)) return "[]"
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     graft.util.Fs.listDir(dir)
       .filter(p => filter(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
-      .map(p => Files.readString(p))
+      // skip mid-write/truncated files instead of corrupting the whole
+      // array — on no-hard-link filesystems a snapshot's content no longer
+      // appears atomically with its name (Manifest.appendSnapshot fallback)
+      .flatMap { p =>
+        val s = Files.readString(p)
+        try { om.readTree(s); Some(s) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
       .mkString("[", ",", "]")
   }
 

@@ -53,15 +53,28 @@ object Multimodal {
     * that period over each kind's ordinal, planting exact duplicate media
     * (byte-identical payloads under distinct asset_ids) — the fixture for
     * the perceptual near-dup operators. */
+  // WEAK-keyed by session: a strong global map would pin every stopped
+  // SparkSession (and its fixture LocalRelations) for the JVM's life
   private val assetCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]()
 
-  def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame =
+  def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame = {
     // memoized: the fixture is deterministic and several driver queries use
     // the same (n, dupCycle); building it is driver-side media ENCODING
-    // (300 PNG + WAV + MJPEG-AVI encodes), the dominant cost of a Verify
-    // run's media tail — the LocalRelation is immutable, reuse is sound
-    assetCache.getOrElseUpdate((spark, n, dupCycle), buildAssets(spark, n, dupCycle))
+    // (300 PNG + WAV + MJPEG-AVI encodes) — the LocalRelation is immutable,
+    // reuse is sound; entries die with their session
+    val perSession = assetCache.synchronized {
+      val m = assetCache.get(spark)
+      if (m != null) m
+      else {
+        val created = scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+        assetCache.put(spark, created)
+        created
+      }
+    }
+    perSession.getOrElseUpdate((n, dupCycle), buildAssets(spark, n, dupCycle))
+  }
 
   private def buildAssets(spark: SparkSession, n: Int, dupCycle: Int): DataFrame = {
     import spark.implicits._

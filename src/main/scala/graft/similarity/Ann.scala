@@ -110,13 +110,18 @@ object Ann {
     * are exact. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       p: LshParams = LshParams()): DataFrame = {
-    val cb = bandedIds(corpus, "cand_id", p)
-    val smallBuckets = cb.groupBy("band_idx", "band_val").count()
-      .filter(col("count") <= p.maxBucketSize)
-      .select("band_idx", "band_val")
+    // ONE corpus scan + signature-kernel pass: the cap filter and the join
+    // side both come from the same collect_list aggregation (counting in a
+    // separate aggregate and joining it back would scan the corpus — and
+    // run the 128-plane kernel — twice)
+    val cbSmall = bandedIds(corpus, "cand_id", p)
+      .groupBy("band_idx", "band_val")
+      .agg(collect_list(col("cand_id")).as("ids"))
+      .filter(size(col("ids")) <= p.maxBucketSize)
+      .select(col("band_idx"), col("band_val"), explode(col("ids")).as("cand_id"))
     val qb = bandedIds(queries, "query_id", p)
     val cands = qb
-      .join(cb.join(smallBuckets, Seq("band_idx", "band_val")), Seq("band_idx", "band_val"))
+      .join(cbSmall, Seq("band_idx", "band_val"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")
       .distinct()

@@ -191,10 +191,14 @@ object TextAnalysis {
     * makes the hot set corpus-sized and an unconditional `broadcast()`
     * would OOM the driver — above `maxBroadcastUnits` the anti-join runs
     * shuffled instead (same rows, bigger exchange, no driver risk). The
-    * hot set is persisted (spills to disk) so the guard count and the join
-    * share one computation. At 100 TB the unit key would be xxhash64(unit)
-    * (8 bytes); the string key is kept so DuckDB twins the pipeline
-    * exactly. */
+    * hot set is materialized ONCE via an eager localCheckpoint (spills to
+    * disk) so the guard count and the join share one computation; unlike
+    * `persist()`, checkpoint blocks are freed by the ContextCleaner when
+    * the returned plan is dropped — no CacheManager entry to leak per
+    * call. The guard makes this builder run one Spark job eagerly (the
+    * price of choosing the join strategy from data). At 100 TB the unit
+    * key would be xxhash64(unit) (8 bytes); the string key is kept so
+    * DuckDB twins the pipeline exactly. */
   def stripFrequentUnits(docs: DataFrame, minDf: Int, sep: String = "\n",
       idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastUnits: Long = 1000000L): DataFrame = {
@@ -206,7 +210,7 @@ object TextAnalysis {
       .groupBy(col("u")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // limit(max+1): the guard needs only "over the threshold?", never the
     // full count — the scan stops as soon as the answer is known
     val overCap = hot.limit(math.min(maxBroadcastUnits + 1, Int.MaxValue.toLong).toInt)

@@ -144,10 +144,16 @@ class DedupSpec extends SparkSpec {
   test("PairGen emits exactly each bucket's unordered pairs, normalized (id_a < id_b)") {
     val buckets: Seq[Seq[Long]] = Seq(
       Seq(5L), Seq.empty, Seq(3L, 9L), Seq(7L, 1L, 4L, 2L), (0L until 6L).toSeq,
-      Seq(9L, 3L)) // a repeated pair across buckets must appear twice (pre-distinct)
+      Seq(9L, 3L), // a repeated pair across buckets must appear twice (pre-distinct)
+      Seq(8L, 8L, 6L)) // a duplicated id inside a bucket must NOT self-pair
     val got = graft.functions.PairGen.unorderedPairs(buckets.toDF("ids"), "ids")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    val want = buckets.flatMap(_.combinations(2).map(p => (p.min, p.max))).sorted
+    // positional pairs (each unordered POSITION pair once), self-pairs out —
+    // callers .distinct() afterwards, so cross/within-bucket multiplicity
+    // is part of the pre-distinct contract
+    val want = buckets.flatMap(b =>
+      for { i <- b.indices; j <- (i + 1) until b.size if b(i) != b(j) }
+        yield (math.min(b(i), b(j)), math.max(b(i), b(j)))).sorted
     assert(got === want)
     assert(got.forall { case (a, b) => a < b })
   }

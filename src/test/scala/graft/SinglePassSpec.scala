@@ -87,4 +87,22 @@ class SinglePassSpec extends SparkSpec {
     val got = SinglePassLimit.writeLimited(df, rules, out)
     assert(canon(got) === canon(df))
   }
+
+  test("whole-hour TZ guard: modern whole-hour zones pass, half-hour eras/rules reject") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    def accepts(tz: String): Boolean =
+      try {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        SinglePassLimit.assertWholeHourTz(spark); true
+      } catch { case _: IllegalArgumentException => false }
+      finally spark.conf.set("spark.sql.session.timeZone", prev)
+    assert(accepts("UTC"))
+    // pre-1900 LMT transitions (−4:56:02 / +9:18:59) must NOT trip the
+    // guard — every geographic zone has one, and no epoch row feels it
+    assert(accepts("America/New_York"), "pre-epoch LMT offset wrongly rejected")
+    assert(accepts("Asia/Tokyo"))
+    assert(!accepts("Asia/Kolkata"), "current +5:30 must reject")
+    assert(!accepts("Asia/Singapore"), "historic post-epoch +7:30 (until 1982) must reject")
+    assert(!accepts("Australia/Lord_Howe"), "recurring +10:30 standard time must reject")
+  }
 }
