@@ -46,6 +46,28 @@ object StreamingPipeline {
   def routedStream(turns: DataFrame, rules: Seq[RouteRule] = Router.defaultRules): DataFrame =
     Router.fanOut(GrokParser.parse(turns), rules)
 
+  /** Watermarked stream-stream INNER join — the streaming form of the
+    * fact⋈fact equi-join (two live fact streams matched on a key within an
+    * event-time band). Both sides carry watermarks and the join predicate
+    * bounds their event-time distance, so Spark can size the join state:
+    * each side's buffered rows are evicted once the other side's watermark
+    * passes `key time + maxEventTimeGap` — state is O(rows within the gap
+    * horizon), not O(stream). Without the time bound a stream-stream inner
+    * join must buffer EVERYTHING forever; the bound is what makes the
+    * operator runnable at 100 TB/day.
+    *
+    * Generic over schemas: `leftTimeCol`/`rightTimeCol` are the event-time
+    * columns, `keyExpr` the equi-join condition, `maxEventTimeGap` the band.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      keyExpr: String, leftTimeCol: String, rightTimeCol: String,
+      maxEventTimeGap: String = "120 days",
+      watermark: String = "30 days"): DataFrame =
+    left.withWatermark(leftTimeCol, watermark)
+      .join(right.withWatermark(rightTimeCol, watermark),
+        expr(s"$keyExpr AND $rightTimeCol >= $leftTimeCol " +
+          s"AND $rightTimeCol <= $leftTimeCol + interval $maxEventTimeGap"))
+
   /** Stream-static enrichment: the batch broadcast-dim join applied to a
     * stream. Spark re-plans the static side per micro-batch, so a refreshed
     * dimension table is picked up without restarting the query — the

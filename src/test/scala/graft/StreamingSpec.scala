@@ -62,6 +62,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._4.isEmpty) === batch.exists(_._4.isEmpty))
   }
 
+  test("watermarked stream-stream fact join equals the batch join (inner, time-banded)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two fact streams: orders and lineitem at sf0.001, joined on orderkey
+    // within a shipdate band — the classic fact⋈fact shape, live
+    val sf = "/root/testdata/sf0.001"
+    // parquet timestamps land NTZ; watermarks need TIMESTAMP — the cast is
+    // identity under the pinned UTC session. The file source needs a
+    // DIRECTORY, so round-trip each single-file table through a temp dir.
+    def stream(path: String, tsCol: String): org.apache.spark.sql.DataFrame = {
+      val dir = Files.createTempDirectory("graft-ssj").toString
+      spark.read.parquet(path).write.mode("overwrite").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+        .withColumn(tsCol, col(tsCol).cast("timestamp"))
+    }
+    val joined = StreamingPipeline.streamStreamJoin(
+      stream(s"$sf/orders.parquet", "o_orderdate"),
+      stream(s"$sf/lineitem.parquet", "l_shipdate"),
+      keyExpr = "l_orderkey = o_orderkey",
+      leftTimeCol = "o_orderdate", rightTimeCol = "l_shipdate")
+      .select(col("o_orderkey"), col("l_linenumber"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val streamed = canon(spark.table("ssj_out"))
+    val batch = canon(
+      spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+          expr("l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+            "AND l_shipdate <= o_orderdate + interval 120 days"))
+        .select(col("o_orderkey"), col("l_linenumber")))
+    assert(streamed.nonEmpty && batch.nonEmpty)
+    assert(streamed.sameElements(batch),
+      s"stream ${streamed.length} rows vs batch ${batch.length}")
+  }
+
   test("streaming dedup drops re-emitted keys across micro-batches, state bounded by watermark") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = Files.createTempDirectory("graft-sdedup").toString
