@@ -388,6 +388,15 @@ object SparkEntry {
     "q_tpch_top_customers" -> ((s, dir) => Tpch.topCustomers(s, dir)),
     "q_tpch_nation_volume" -> ((s, dir) => Tpch.nationVolume(s, dir)),
     "q_tpch_idle_customers" -> ((s, dir) => Tpch.customersWithoutBigOrders(s, dir)),
+    // left-SEMI join (TPC-H Q4 EXISTS shape): ships keys only, no fact⋈fact
+    // row multiplication
+    "q_tpch_waiting_orders" -> ((s, dir) => Tpch.ordersWithReturns(s, dir)),
+    // rollup / grouping-sets aggregate: 3 grouping levels in ONE pass
+    "q_tpch_rollup" -> ((s, dir) => Tpch.revenueRollup(s, dir)),
+    // bucketed co-located fact join: the ingest-prepaid shuffle — the join
+    // itself runs with zero exchange and zero sort (plan-asserted in
+    // TpchSpec); same SQL semantics as the plain join, so the oracle is free
+    "q_tpch_bucketed_revenue" -> ((s, dir) => Tpch.revenueByPriorityBucketed(s, dir)),
     // multimodal plumbing: REAL image/audio decode (JDK ImageIO + WAV RIFF
     // parse), video stubbed — typed features (rows-only)
     "q_multimodal" -> ((s, dir) =>
@@ -759,9 +768,9 @@ object SparkEntry {
     "q_session_pack" -> Oracles.withPipeline(
       """SELECT conv_id, cast(session_idx AS bigint) AS session_idx,
            cast(n_tokens AS bigint) AS n_tokens,
-           cast(cast(substr(conv_id, 6, 5) AS bigint) % 8 AS bigint) AS shard,
+           cast(cast(substr(conv_id, 6, 18) AS bigint) % 8 AS bigint) AS shard,
            cast(floor(coalesce(sum(n_tokens) OVER (
-               PARTITION BY cast(substr(conv_id, 6, 5) AS bigint) % 8
+               PARTITION BY cast(substr(conv_id, 6, 18) AS bigint) % 8
                ORDER BY conv_id, session_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
              AS bigint) AS pack_id
@@ -1025,6 +1034,32 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-         GROUP BY c_mktsegment"""
+         GROUP BY c_mktsegment""",
+    "q_tpch_waiting_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+    "q_tpch_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
+           count(*) AS n_items
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY ROLLUP(n_name, o_orderpriority)""",
+    "q_tpch_bucketed_revenue" ->
+      """SELECT o_orderpriority,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
+           count(*) AS n_items
+         FROM orders
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'MACHINERY'
+         GROUP BY o_orderpriority"""
   )
 }

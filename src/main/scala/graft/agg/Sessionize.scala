@@ -84,10 +84,15 @@ object Sessionize {
     val sess = sessionize(turns, gapSeconds)
       .groupBy(col("conv_id"), col("session_idx"))
       .agg(sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
-      .withColumn("shard", pmod(substring(col("conv_id"), 6, 5).cast("long"), lit(nShards)))
-      .withColumn("shard", when(col("shard").isNull,
-        raise_error(concat(lit("sessionPacks: conv_id does not match conv-NNNNN: "),
-          col("conv_id"))).cast("long")).otherwise(col("shard")))
+      // id-shape contract enforced on the WHOLE id (a bare null-check after
+      // substring(…, 6, 5) would silently truncate a longer numeric suffix —
+      // 'conv-123456' sharding on '12345' — instead of failing); 18 digits is
+      // the full Long-safe width, so every conforming id shards on its entire
+      // suffix
+      .withColumn("shard", when(!col("conv_id").rlike("^conv-[0-9]{1,18}$"),
+        raise_error(concat(lit("sessionPacks: conv_id does not match conv-<digits>: "),
+          col("conv_id"))).cast("long"))
+        .otherwise(pmod(substring(col("conv_id"), 6, 18).cast("long"), lit(nShards))))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("conv_id"), col("session_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -89,6 +89,13 @@ object Components {
     var prevCount = -1L
     var prevHashSum: java.math.BigDecimal = null
     val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the INITIAL local checkpoint must live as long as any iterate that may
+    // recompute into it: rounds 1–4 are plain-cached and their recompute path
+    // (cached block lost on executor failure) walks back to this checkpoint,
+    // so unpersisting it at the end of round 1 — as the generic "free the
+    // previous round" rule below would — destroys data with no recompute
+    // path. Track it with the loop's checkpoint rounds and free it with them.
+    checkpointed += g
     while (!converged && iter < maxIter) {
       val stepped = smallStar(largeStar(g))
       // cache truncates COMPUTE but not the logical plan, which otherwise

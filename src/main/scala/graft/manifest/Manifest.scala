@@ -211,6 +211,86 @@ final class Manifest(root: String) {
     else spark.read.schema(schema).json(snapshotDir.toString)
   }
 
+  // ---- streaming micro-batch commit (exactly-once across replays) ----
+
+  /** Commit one routed micro-batch into per-sink committed parquet — the
+    * PRODUCTION streaming sink path (driven by foreachBatch,
+    * [[graft.streaming.StreamingPipeline.foreachBatchSink]]).
+    *
+    * Layout: `sinks/<sink>/batch=<id>/…` — append semantics at sink
+    * granularity, one partition dir per micro-batch, readable by the same
+    * path-based reads as the batch layout ([[sinkRows]]).
+    *
+    * Exactly-once: foreachBatch re-delivers a failed micro-batch with the
+    * SAME batchId and (file source + checkpoint) the same rows, so the data
+    * path only needs idempotent promotion — each sink's batch dir is staged
+    * fully, then moved into place atomically, and a replay skips any
+    * `batch=<id>` dir that already exists. A crash mid-commit (some sinks
+    * promoted, some not) resumes by promoting exactly the missing ones: no
+    * routed row is ever written twice (the north-rule resume invariant,
+    * streaming edition). The snapshot audit log gets one record per
+    * (sink, batch); on the crash-replay edge a duplicate audit record with
+    * identical content can appear — the DATA stays exactly-once, and the
+    * dup is detectable by its (sink, run_id) key. A fully-committed batch
+    * short-circuits on its marker file. */
+  def commitStreamBatch(batch: DataFrame, batchId: Long): Unit = {
+    Files.createDirectories(manifestDir)
+    Files.createDirectories(tmpDir)
+    val marker = manifestDir.resolve(s"_stream_batch_$batchId.json")
+    if (Files.exists(marker)) return // replay of a fully-committed batch
+    val spark = batch.sparkSession
+    // stage the WHOLE batch once, partitioned by sink (one job, no per-sink
+    // re-filtering of the batch plan)
+    val staging = tmpDir.resolve(s"stream-batch-$batchId-${java.util.UUID.randomUUID()}")
+    batch.write.mode("overwrite").partitionBy("sink").parquet(staging.toString)
+    val sinkDirs = graft.util.Fs.listDir(staging)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sink="))
+    val committed = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    sinkDirs.foreach { dir =>
+      val sink = dir.getFileName.toString.stripPrefix("sink=")
+      val target = Paths.get(sinkPath(sink), s"batch=$batchId")
+      if (!Files.exists(target)) {
+        // per-sink stats from the STAGED files (tiny scan of what was just
+        // written; the batch plan is not recomputed)
+        val st = spark.read.parquet(dir.toString)
+          .agg(count(lit(1)).as("rows"),
+            coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
+            countDistinct(col("conv_id")).as("convs"))
+          .collect()(0)
+        Files.createDirectories(target.getParent)
+        Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
+        committed += ((sink, st.getLong(0), st.getLong(1), st.getLong(2)))
+      } // else: replay — this sink already promoted by a previous attempt
+    }
+    committed.foreach { case (sink, rows, bytes, convs) =>
+      appendSnapshot(sid => streamSnapshotRecord(sid, sink, batchId, rows, bytes, convs))
+    }
+    deleteRecursively(staging)
+    val tmpMarker = tmpDir.resolve(s"_stream_batch_$batchId-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(tmpMarker,
+      s"""{"batch_id":$batchId,"sinks":${committed.size},""" +
+        s""""committed_ts":"${java.time.Instant.now()}"}""")
+    Files.move(tmpMarker, marker,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def streamSnapshotRecord(snapshotId: Long, sink: String, batchId: Long,
+      rows: Long, bytes: Long, convs: Long): String =
+    s"""{"snapshot_id":$snapshotId,"parent_id":${snapshotId - 1},""" +
+      s""""run_id":"stream-batch-$batchId","sink":"$sink","op":"stream_commit",""" +
+      s""""row_count":$rows,"bytes":$bytes,"convs":$convs,""" +
+      s""""committed_ts":"${java.time.Instant.now()}"}"""
+
+  /** Sinks with at least one committed streaming batch. */
+  def streamCommittedSinks(): Set[String] = {
+    val base = Paths.get(root, "sinks")
+    if (!Files.isDirectory(base)) return Set.empty
+    graft.util.Fs.listDir(base)
+      .filter(p => Files.isDirectory(p) &&
+        graft.util.Fs.listDir(p).exists(_.getFileName.toString.startsWith("batch=")))
+      .map(_.getFileName.toString).toSet
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.util.Fs.deleteRecursively(p)
 

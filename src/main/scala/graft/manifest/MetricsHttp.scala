@@ -151,18 +151,44 @@ final class MetricsHttp(root: String, port: Int,
   private def paramHandler(body: Map[String, String] => String,
       contentType: String = "application/json"): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-        .split("&").filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
-      val bytes = body(params).getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", contentType)
-      ex.sendResponseHeaders(200, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
+      // a monitoring sidecar degrades, it does not drop connections: a
+      // malformed query string (bad percent-encoding → URLDecoder throws) is
+      // a 400 with a JSON error body, any body() failure a 500 — never an
+      // unanswered exchange (which surfaces client-side as connection reset)
+      try {
+        val status =
+          try Right(
+            Option(ex.getRequestURI.getQuery).getOrElse("")
+              .split("&").filter(_.contains("=")).map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                k -> java.net.URLDecoder.decode(v, "UTF-8")
+              }.toMap)
+          catch { case e: IllegalArgumentException => Left(400 -> e.getMessage) }
+        val (code, payload, ct) = status match {
+          case Right(params) =>
+            try (200, body(params), contentType)
+            catch { case e: Exception =>
+              (500, s"""{"error":${jsonString(e.toString)}}""", "application/json") }
+          case Left((code, msg)) =>
+            (code, s"""{"error":${jsonString(s"bad query string: $msg")}}""",
+              "application/json")
+        }
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", ct)
+        ex.sendResponseHeaders(code, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      } finally ex.close()
     }
   }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Live executor roster + per-executor task/storage stats — the cluster
     * view. In Spark the "nodes" the reference proxies with `?node=` are the

@@ -53,31 +53,26 @@ object Multimodal {
     * that period over each kind's ordinal, planting exact duplicate media
     * (byte-identical payloads under distinct asset_ids) — the fixture for
     * the perceptual near-dup operators. */
-  // WEAK-keyed by session: a strong global map would pin every stopped
-  // SparkSession (and its fixture LocalRelations) for the JVM's life
-  private val assetCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]()
+  // Memoize the ENCODED ROWS, not DataFrames: building the fixture is
+  // driver-side media encoding (300 PNG + WAV + MJPEG-AVI encodes) and is
+  // deterministic in (n, dupCycle), so the byte rows are safely shared
+  // JVM-wide. A Dataset value would strongly reference its SparkSession
+  // (Dataset → QueryExecution → session), so any map holding DataFrames —
+  // even a WeakHashMap keyed by session, whose entries then never become
+  // collectable (value → key) — pins stopped sessions for the JVM's life.
+  // The per-call toDF over ~n cached tuples is negligible next to the codecs.
+  private type AssetRow =
+    (Long, String, String, Array[Byte], Option[Int], Option[Int], Option[Int])
+  private val assetRowCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Seq[AssetRow]]
 
   def syntheticAssets(spark: SparkSession, n: Int, dupCycle: Int = 0): DataFrame = {
-    // memoized: the fixture is deterministic and several driver queries use
-    // the same (n, dupCycle); building it is driver-side media ENCODING
-    // (300 PNG + WAV + MJPEG-AVI encodes) — the LocalRelation is immutable,
-    // reuse is sound; entries die with their session
-    val perSession = assetCache.synchronized {
-      val m = assetCache.get(spark)
-      if (m != null) m
-      else {
-        val created = scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
-        assetCache.put(spark, created)
-        created
-      }
-    }
-    perSession.getOrElseUpdate((n, dupCycle), buildAssets(spark, n, dupCycle))
+    import spark.implicits._
+    assetRowCache.getOrElseUpdate((n, dupCycle), buildAssetRows(n, dupCycle))
+      .toDF("asset_id", "kind", "media_type", "payload", "width", "height", "duration_ms")
   }
 
-  private def buildAssets(spark: SparkSession, n: Int, dupCycle: Int): DataFrame = {
-    import spark.implicits._
+  private def buildAssetRows(n: Int, dupCycle: Int): Seq[AssetRow] = {
     val kinds = Array("image", "audio", "video")
     val mt = Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/x-msvideo")
     (0 until n).map { i =>
@@ -105,7 +100,7 @@ object Multimodal {
             Some(vw), Some(vh), Some(nf * 1000 / fps))
       }
       (i.toLong, kind, mt(kind), payload, w, h, dur)
-    }.toDF("asset_id", "kind", "media_type", "payload", "width", "height", "duration_ms")
+    }
   }
 
   /** `real = false` marks stub-derived features — they can never silently

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,21 +79,41 @@ object Ann {
         VectorFunctions.hyperplane_bands(col("embedding"), p.bitsPerBand, p.bands).as("bvs"))
       .select(col(idName), posexplode_outer(col("bvs")).as(Seq("band_idx", "band_val")))
 
+  /** Attaches the cap observables to a freshly-aggregated bucket frame:
+    * `dropped_buckets` / `dropped_ids` count what the `maxBucketSize` filter
+    * is about to discard, measured ON the one banding aggregation the query
+    * already runs (a CollectMetrics node — no extra scan, no extra kernel
+    * pass; [[oversizedBuckets]] recomputes the full 128-plane banding and
+    * exists for tests only). Read via `Observation.get` after the caller's
+    * action completes. */
+  private def withDropMetrics(buckets: DataFrame, p: LshParams,
+      obs: Option[Observation]): DataFrame =
+    obs.fold(buckets)(o => buckets.observe(o,
+      sum(when(size(col("ids")) > p.maxBucketSize, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > p.maxBucketSize, size(col("ids")).cast("long"))
+        .otherwise(lit(0L))).as("dropped_ids")))
+
   /** Deduped candidate pairs (id_a < id_b) from the capped band buckets —
     * the stage before exact-cosine verification, exposed so callers and
     * tests can bound candidate volume (≤ N·bands·maxBucketSize/2 on any
-    * corpus). Carries ONLY ids. */
-  def candidatePairs(corpus: DataFrame, p: LshParams = LshParams()): DataFrame = {
-    val buckets = bandedIds(corpus, "vec_id", p)
-      .groupBy("band_idx", "band_val")
-      .agg(collect_list(col("vec_id")).as("ids"))
+    * corpus). Carries ONLY ids. Pass an [[Observation]] to read the cap's
+    * dropped-bucket/dropped-id counts from the SAME aggregation. */
+  def candidatePairs(corpus: DataFrame, p: LshParams = LshParams(),
+      obs: Option[Observation] = None): DataFrame = {
+    val buckets = withDropMetrics(
+        bandedIds(corpus, "vec_id", p)
+          .groupBy("band_idx", "band_val")
+          .agg(collect_list(col("vec_id")).as("ids")), p, obs)
       .filter(size(col("ids")).between(2, p.maxBucketSize))
     graft.functions.PairGen.unorderedPairs(buckets, "ids").distinct()
   }
 
   /** Buckets whose size exceeded maxBucketSize (dropped from candidate
-    * generation) — the observable for the cap, same contract as
-    * [[graft.dedup.MinHashLSH.oversizedBuckets]]. */
+    * generation) — the out-of-line observable for TESTS, same contract as
+    * [[graft.dedup.MinHashLSH.oversizedBuckets]]. Production callers should
+    * pass an [[Observation]] to [[candidatePairs]]/[[lshTopK]] instead: this
+    * form re-scans the corpus and re-runs the banding kernel. */
   def oversizedBuckets(corpus: DataFrame, p: LshParams = LshParams()): DataFrame =
     bandedIds(corpus, "vec_id", p)
       .groupBy("band_idx", "band_val").count()
@@ -105,18 +125,19 @@ object Ann {
     * Scale shape: band join and candidate dedup carry ONLY ids (the
     * embeddings re-join afterwards, each moving once per id instead of once
     * per candidate pair); corpus buckets over `maxBucketSize` are dropped
-    * (counted via [[oversizedBuckets]]), bounding per-query candidates at
-    * bands·cap on any corpus. Recall < 1 by construction; emitted scores
-    * are exact. */
+    * (pass an [[Observation]] for in-line dropped counts), bounding
+    * per-query candidates at bands·cap on any corpus. Recall < 1 by
+    * construction; emitted scores are exact. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      p: LshParams = LshParams()): DataFrame = {
-    // ONE corpus scan + signature-kernel pass: the cap filter and the join
-    // side both come from the same collect_list aggregation (counting in a
-    // separate aggregate and joining it back would scan the corpus — and
-    // run the 128-plane kernel — twice)
-    val cbSmall = bandedIds(corpus, "cand_id", p)
-      .groupBy("band_idx", "band_val")
-      .agg(collect_list(col("cand_id")).as("ids"))
+      p: LshParams = LshParams(), obs: Option[Observation] = None): DataFrame = {
+    // ONE corpus scan + signature-kernel pass: the cap filter, the drop
+    // observables, and the join side all come from the same collect_list
+    // aggregation (counting in a separate aggregate and joining it back
+    // would scan the corpus — and run the 128-plane kernel — twice)
+    val cbSmall = withDropMetrics(
+        bandedIds(corpus, "cand_id", p)
+          .groupBy("band_idx", "band_val")
+          .agg(collect_list(col("cand_id")).as("ids")), p, obs)
       .filter(size(col("ids")) <= p.maxBucketSize)
       .select(col("band_idx"), col("band_val"), explode(col("ids")).as("cand_id"))
     val qb = bandedIds(queries, "query_id", p)
@@ -160,8 +181,8 @@ object Ann {
     * only (id_a, id_b) — embeddings join back once per id for the exact
     * verify. Candidate pairs ≤ N·bands·maxBucketSize/2 on ANY corpus. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double = 0.95,
-      p: LshParams = LshParams()): DataFrame = {
-    val pairs = candidatePairs(corpus, p)
+      p: LshParams = LshParams(), obs: Option[Observation] = None): DataFrame = {
+    val pairs = candidatePairs(corpus, p, obs)
     val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     pairs.join(l, Seq("id_a")).join(r, Seq("id_b"))

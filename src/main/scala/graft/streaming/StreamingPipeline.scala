@@ -56,17 +56,28 @@ object StreamingPipeline {
     * join must buffer EVERYTHING forever; the bound is what makes the
     * operator runnable at 100 TB/day.
     *
-    * Generic over schemas: `leftTimeCol`/`rightTimeCol` are the event-time
-    * columns, `keyExpr` the equi-join condition, `maxEventTimeGap` the band.
+    * Generic over schemas: `leftTimeCol`/`rightTimeCol` name the event-time
+    * columns, `joinKeys` builds the equi-join condition from the two
+    * watermarked sides (a Column built against the passed frames, so shared
+    * column names resolve unambiguously and nothing is spliced into a raw
+    * SQL string), `maxEventTimeGap` the band.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
-      keyExpr: String, leftTimeCol: String, rightTimeCol: String,
+      joinKeys: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      leftTimeCol: String, rightTimeCol: String,
       maxEventTimeGap: String = "120 days",
-      watermark: String = "30 days"): DataFrame =
-    left.withWatermark(leftTimeCol, watermark)
-      .join(right.withWatermark(rightTimeCol, watermark),
-        expr(s"$keyExpr AND $rightTimeCol >= $leftTimeCol " +
-          s"AND $rightTimeCol <= $leftTimeCol + interval $maxEventTimeGap"))
+      watermark: String = "30 days"): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r = right.withWatermark(rightTimeCol, watermark)
+    // the time band is Column arithmetic over side-qualified columns — only
+    // the gap LITERAL goes through expr(), and it is validated as an interval
+    // before the plan is built (fail fast at call time, not analysis time)
+    val gap = expr(s"interval $maxEventTimeGap")
+    l.join(r,
+      joinKeys(l, r) &&
+        r(rightTimeCol) >= l(leftTimeCol) &&
+        r(rightTimeCol) <= l(leftTimeCol) + gap)
+  }
 
   /** Stream-static enrichment: the batch broadcast-dim join applied to a
     * stream. Spark re-plans the static side per micro-batch, so a refreshed
@@ -125,11 +136,38 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
   /** Ready-to-start writer for the windowed aggregate into a memory sink
-    * (tests) — production would target per-sink tables via foreachBatch. */
+    * (tests); [[foreachBatchSink]] is the production path. */
   def memorySinkQuery(agg: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
       .outputMode(OutputMode.Update)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
+
+  /** PRODUCTION sink path: every micro-batch of routed rows lands in
+    * per-sink committed parquet through the manifest's write-then-commit
+    * ([[graft.manifest.Manifest.commitStreamBatch]]) — the streaming
+    * completion of the batch pipeline's effectively-once story (reference
+    * analog: the Consul-KV dedup set making an at-least-once source
+    * effectively-once, source/nomad/worker.go:114-127). The source
+    * checkpoint pins (batchId → offsets), foreachBatch replays a failed
+    * batch with the same id and rows, and the manifest's idempotent per-sink
+    * promotion turns that at-least-once delivery into exactly-once sink
+    * contents — a killed stream restarted on the same checkpoint produces
+    * zero duplicate routed rows (StreamingSpec kill/restart test).
+    *
+    * `Trigger.AvailableNow` drains what exists and stops — the batch-job
+    * form; pass a processing-time trigger for a long-lived tail. */
+  def foreachBatchSink(routed: DataFrame, manifestRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val m = new graft.manifest.Manifest(manifestRoot)
+    routed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        m.commitStreamBatch(batch, batchId)
+      }
+  }
 }

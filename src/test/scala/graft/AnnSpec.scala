@@ -139,6 +139,20 @@ class AnnSpec extends SparkSpec {
     val candBound = corpus.count() * p.bands * p.maxBucketSize
     val cands = Ann.candidatePairs(corpus, p).count()
     assert(cands <= candBound, s"$cands candidates exceeds O(N·bands·cap) = $candBound")
+    // IN-LINE drop observables: the same counts as oversizedBuckets, but
+    // measured on the one banding aggregation the query already runs
+    // (oversizedBuckets costs a second corpus scan + 128-plane kernel pass —
+    // production reads the Observation instead)
+    val obs = org.apache.spark.sql.Observation("lsh_drops")
+    Ann.candidatePairs(corpus, p, Some(obs)).count()
+    assert(obs.get("dropped_buckets") === p.bands.toLong,
+      s"observed drops must match oversizedBuckets: ${obs.get}")
+    assert(obs.get("dropped_ids") === 300L * p.bands)
+    // and on the ANN path
+    val obs2 = org.apache.spark.sql.Observation("lsh_topk_drops")
+    val queries = Seq((9000L, planted)).toDF("vec_id", "embedding")
+    Ann.lshTopK(queries, corpus, k = 1, p, Some(obs2)).count()
+    assert(obs2.get("dropped_buckets") === p.bands.toLong)
   }
 
   test("multi-table 16-bit bands keep high recall on genuine near-dups (cos ≈ 0.99)") {

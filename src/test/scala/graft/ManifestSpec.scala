@@ -211,6 +211,21 @@ class ManifestSpec extends SparkSpec {
       val one = om.readTree(get(s"/cluster?node=${java.net.URLEncoder.encode(id, "UTF-8")}"))
       assert(one.get("executors").size() === 1)
       assert(om.readTree(get("/cluster?node=nope:0")).get("executors").size() === 0)
+      // a malformed query must get an ANSWER (4xx), never a dropped exchange
+      // (connection reset). The JDK server pre-validates the request URI and
+      // answers its own 400 for an invalid percent escape; paramHandler's
+      // try/catch is the second line of defense for anything that gets
+      // through (and turns body() failures into 500s). Raw socket: the JDK
+      // http client would refuse to send the malformed URI at all.
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.getOutputStream.write(
+          s"GET /cluster?node=%zz HTTP/1.1\r\nHost: 127.0.0.1:$port\r\nConnection: close\r\n\r\n"
+            .getBytes("US-ASCII"))
+        sock.getOutputStream.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(resp.startsWith("HTTP/1.1 400"), s"expected 400, got: ${resp.take(80)}")
+      } finally sock.close()
       // sidecar mode (no session attached) degrades, not crashes
       val side = new graft.manifest.MetricsHttp(out, 0)
       val sp = side.start()

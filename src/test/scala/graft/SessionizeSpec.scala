@@ -134,8 +134,15 @@ class SessionizeSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m =>
-      m != null && (m.contains("conv-NNNNN") || m.contains("CAST_INVALID_INPUT"))),
+      m != null && (m.contains("conv-<digits>") || m.contains("CAST_INVALID_INPUT"))),
       s"expected a fail-fast, got: ${e.getMessage}")
+    // a LONGER numeric suffix is conforming and shards on the ENTIRE suffix
+    // (the earlier substring(…, 6, 5) silently truncated 'conv-123456' to
+    // '12345' — the id-shape guard now covers the whole id)
+    val long = Seq(("conv-123456", 0, t(0), "some words here"))
+      .toDF("conv_id", "turn_idx", "ts", "text")
+    val shard = Sessionize.sessionPacks(long).select("shard").collect()(0).getLong(0)
+    assert(shard === 123456L % 8)
   }
 
   test("session-aware packing: no session splits, first-token rule holds, two exchanges") {

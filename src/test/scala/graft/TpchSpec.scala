@@ -81,6 +81,91 @@ class TpchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("semi-join: waiting orders plan LEFT SEMI with the flag filter pushed down") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tpch.ordersWithReturns(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"EXISTS shape must plan LEFT SEMI:\n$plan")
+      assert(plan.contains("EqualTo(l_returnflag,R)"),
+        s"returnflag filter must reach the lineitem parquet scan:\n$plan")
+      // the semi side ships ONLY the join key past its filter: the lineitem
+      // scan reads just (key, filter column), and the build/exchange side
+      // projects down to the bare key
+      assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+        s"semi probe must prune lineitem to key + filter columns:\n$plan")
+      assert("Project \\[l_orderkey#\\d+L\\]".r.findFirstIn(plan).nonEmpty,
+        s"the semi build side must carry the key only:\n$plan")
+      // semantics: every counted order has >= 1 'R' item; none counted twice
+      val n = df.agg(sum(col("n_orders"))).head.getLong(0)
+      val viaDistinct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct().count()
+      assert(n === viaDistinct, "semi-join must count each matching order exactly once")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("rollup: one Expand pass, levels sum consistently") {
+    val res = Tpch.revenueRollup(spark, sfDir).collect()
+    val grand = res.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    val nationSub = res.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val leaves = res.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(grand.length === 1)
+    assert(nationSub.nonEmpty && leaves.nonEmpty)
+    def cents(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.getAs[Long]("revenue_cents")).sum
+    assert(cents(grand) === cents(nationSub), "nation subtotals must sum to the grand total")
+    assert(cents(grand) === cents(leaves), "leaves must sum to the grand total")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Tpch.revenueRollup(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"),
+        "rollup must compute all grouping levels in one Expand pass, not one scan per level")
+      assert("Expand".r.findAllIn(plan).length === 1, s"exactly one Expand:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bucketed revenue: zero exchange and zero sort on the fact join, parity with plain join") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tpch.revenueByPriorityBucketed(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"fact spine must be an SMJ:\n${plan.take(800)}")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join keys must not shuffle:\n${plan.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+        s"the ONLY exchange is the final aggregation's:\n${plan.take(2000)}")
+      assert(!plan.contains("Sort [l_orderkey") && !plan.contains("Sort [o_orderkey"),
+        s"bucket sortBy must satisfy the SMJ ordering:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scans must be bucketed:\n${plan.take(2000)}")
+      // row parity with the plain (unbucketed) formulation of the same SQL
+      val plain = spark.read.parquet(s"$sfDir/orders.parquet")
+        .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(spark.read.parquet(s"$sfDir/customer.parquet")
+            .filter(col("c_mktsegment") === "MACHINERY"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(canon(df) === canon(plain))
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    }
+  }
+
   test("AQE splits the skewed fact join (skew=true in the final plan)") {
     // ~1/3 of lineitem remapped onto ONE hot orderkey — the hot partition is
     // many × the others. Thresholds lowered so the 60k-row fixture crosses
