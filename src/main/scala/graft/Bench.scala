@@ -54,7 +54,12 @@ object Bench {
     "q_curation_full",
     // round-4 relational join family: the fact⋈fact shuffle join with a
     // broadcast dim (Q3-shaped) and the 6-way Q5-shaped join
-    "q_tpch_revenue", "q_tpch_nation_volume")
+    "q_tpch_revenue", "q_tpch_nation_volume",
+    // round-5: the same Q3 shape over BUCKETED facts — the ingest-prepaid
+    // (zero-exchange) join; its bucketed tables are written once in the
+    // phase-3 warm-up (that shuffle is the INGEST cost by design, not a
+    // per-query cost — timing it per rep would misstate both stories)
+    "q_tpch_bucketed_revenue")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -247,6 +252,10 @@ object Bench {
     val queryTimes = if (runQueries) {
       val spark = E2eRunner.session(cpusQuery)
       SparkEntry.queries("q_route_counts")(spark, sfDir).count() // warm-up JIT/codegen
+      // bucketed-fact ingest (the prepaid shuffle) runs OUTSIDE the timed
+      // reps — q_tpch_bucketed_revenue then measures the query, which is the
+      // point of bucketing: the nightly join re-pays nothing
+      graft.relational.Tpch.ensureBucketedFacts(spark, sfDir)
       def once(name: String): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -319,6 +328,10 @@ object E2eRunner {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.local.dir", graft.util.Env.localDir)
+      // bucketed-table ingest lands on the scratch tmpfs, not the repo cwd /
+      // shared disk (same reasoning as the sink scratch)
+      .config("spark.sql.warehouse.dir",
+        s"${graft.util.Env.scratchDir}/graft-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

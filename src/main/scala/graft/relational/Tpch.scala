@@ -104,7 +104,8 @@ object Tpch {
     * is ONE file and `sortBy` pre-sorts it: Spark then elides both the
     * exchange AND the sort under later SMJs (multi-file buckets keep their
     * per-file sort but still need the merge sort). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    dropOrphanLocation(df.sparkSession, table)
     df.repartition(buckets, col(key))
       .write
       .bucketBy(buckets, key)
@@ -112,6 +113,23 @@ object Tpch {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** A managed table's directory outlives the JVM, but the default in-memory
+    * catalog does not — so a rerun sees "no such table" while CREATE's
+    * location validation sees the old files and fails with
+    * LOCATION_ALREADY_EXISTS. When the table is absent from the catalog yet
+    * its default location survives on disk, the directory is an orphan of a
+    * dead session: delete it so the write is rerun-idempotent. (With a
+    * persistent metastore the table would exist and take the normal
+    * overwrite path; this only fires on genuinely unowned files.) */
+  private def dropOrphanLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
 
   /** Semi-join shape (TPC-H Q4's EXISTS): orders with at least one returned
     * line item, counted by priority. LEFT SEMI ships ONLY the join key from
