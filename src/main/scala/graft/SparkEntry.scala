@@ -14,6 +14,7 @@ import graft.similarity.Ann
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
 import graft.relational.Tpch
+import graft.temporal.TemporalJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +32,57 @@ object SparkEntry {
     GrokParser.parse(turns(s, dir))
   private def routed(s: SparkSession, dir: String): DataFrame =
     Router.fanOut(graft.pipeline.Pipeline.parsedSalted(turns(s, dir)))
+
+  // ---- shared derivations for the temporal-join queries ----
+  /** 6 h — config-snapshot cadence for the as-of/range families. */
+  private val SnapBucketUs = 21600000000L
+  /** 90 min — maintenance-window length for the range join. */
+  private val WindowLenUs = 5400000000L
+  /** The events table's closed event_type domain (pivot's explicit values). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** events with epoch-us timestamps (the cross-engine ts convention) and
+    * their 6 h bucket. `div` on both sides — integer division, no
+    * double-rounding hazard at bucket boundaries. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("e_us"))
+      .withColumn("bkt", expr(s"e_us div ${SnapBucketUs}L"))
+
+  /** Deterministic sparse config-version history derived from events: one
+    * snapshot per 4th 6 h bucket, phase-shifted per event type (so events
+    * look back up to ~24 h for their version, and types disagree on
+    * snapshot instants — a non-trivial as-of). version = bucket index. */
+  private def configSnaps(s: SparkSession, dir: String): DataFrame =
+    eventsUs(s, dir)
+      .filter(col("bkt") % 4 === length(col("event_type")) % 4)
+      .select(col("event_type"), col("bkt").as("version"),
+        (col("bkt") * SnapBucketUs).as("snap_us"))
+      .distinct()
+
+  /** Orders projected to the CDC snapshot shape (money as exact cents). */
+  private def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+
+  /** Deterministic changelog over the snapshot: price bumps on every 7th
+    * key (seq 1), deletes on every 11th (seq 2 — outranks the %77 overlap's
+    * update), inserts on every 13th under key+1e8 (disjoint key space, so
+    * (key, seq) is unique and the winner is order-independent). */
+  private def cdcChangelog(snap: DataFrame): DataFrame = {
+    val updates = snap.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("price_cents", col("price_cents") + 1000L)
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val deletes = snap.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+    val inserts = snap.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price_cents"),
+        lit("I").as("op"), lit(1L).as("seq"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -397,6 +449,75 @@ object SparkEntry {
     // itself runs with zero exchange and zero sort (plan-asserted in
     // TpchSpec); same SQL semantics as the plain join, so the oracle is free
     "q_tpch_bucketed_revenue" -> ((s, dir) => Tpch.revenueByPriorityBucketed(s, dir)),
+    // per-group top-k: rank window + filter, WindowGroupLimit bounds every
+    // map task to k rows per group BEFORE the shuffle (plan-asserted)
+    "q_top_orders_per_segment" -> ((s, dir) => Tpch.topOrdersPerSegment(s, dir)),
+    // ---- temporal joins (graft.temporal.TemporalJoin) ----
+    // as-of join: each event picks the latest config snapshot at-or-before
+    // its timestamp — broadcast variant (snapshot history is small by
+    // construction), codegen binary search per probe row, zero probe-side
+    // shuffle; DuckDB's native ASOF JOIN is the oracle
+    "q_asof_config" -> ((s, dir) =>
+      TemporalJoin.asofJoinBroadcast(eventsUs(s, dir), configSnaps(s, dir),
+          keys = Seq("event_type"), probeTs = "e_us", buildTs = "snap_us")
+        .filter(col("version").isNotNull) // inner-as-of: drop pre-first-snapshot events
+        .groupBy(col("event_type"), col("version"))
+        .agg(count(lit(1)).as("n_events"))),
+    // binned range join: points⋈intervals containment without an inequality
+    // join — intervals explode to 1h buckets, equi-join on (type, bucket),
+    // exact filter after (plan has zero nested-loop/cartesian joins)
+    "q_range_windows" -> ((s, dir) =>
+      TemporalJoin.rangeJoin(
+          eventsUs(s, dir),
+          configSnaps(s, dir).select(col("event_type"), col("version"),
+            col("snap_us").as("w_start"),
+            (col("snap_us") + WindowLenUs).as("w_end")),
+          keys = Seq("event_type"), pointTs = "e_us",
+          startTs = "w_start", endTs = "w_end", bucketWidth = 3600000000L)
+        .groupBy(col("event_type"), col("version"))
+        .agg(count(lit(1)).as("n_in_window"),
+          countDistinct(col("user_id")).as("n_users"))),
+    // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
+    // WindowGroupLimit-bounded rank, one anti-join + union — the nightly
+    // snapshot-maintenance job (graft.cdc.Cdc); changelog derived
+    // deterministically from orders (updates %7, deletes %11 at higher seq,
+    // inserts %13 under shifted keys — %77 keys exercise seq-order wins)
+    "q_cdc_upsert" -> ((s, dir) => {
+      val snap = cdcSnapshot(s, dir)
+      graft.cdc.Cdc.applyChangelog(snap, cdcChangelog(snap),
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+    }),
+    // Bloom-accelerated incremental dedup: EXACT anti-join result, with a
+    // distributed Bloom sketch keeping provably-new rows out of the shuffle
+    // (graft.dedup.BloomDedup; oracle is the plain NOT IN)
+    "q_bloom_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.dedup.BloomDedup.newDocs(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), textCol = "text")
+        .select(col("doc_id"))
+    }),
+    // sketch aggregates: HLL distinct + KLL-style quantiles — mergeable
+    // fixed-size state per group, the only shapes that survive 100 TB
+    // cardinality/quantile questions (rows-only: DuckDB's sketches differ;
+    // SketchSpec bounds the error vs exact)
+    "q_approx_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          floor(percentile_approx(col("value"), lit(0.5), lit(10000)) * 1000)
+            .cast("bigint").as("p50_milli"),
+          floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
+            .cast("bigint").as("p95_milli"))),
+    // pivot with EXPLICIT values (no driver-side distinct pre-scan): hourly
+    // activity matrix, one codegen'd aggregate pass
+    "q_pivot_type_hours" -> ((s, dir) => {
+      val hours = s.read.parquet(s"$dir/events.parquet")
+        .select(hour(col("ts").cast("timestamp")).as("hour"), col("event_type"))
+      val p = hours.groupBy(col("hour")).pivot("event_type", EventTypes).agg(count(lit(1)))
+      // pivot yields null (not 0) for empty cells; the oracle's FILTER counts 0
+      p.select(col("hour") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
     // multimodal plumbing: REAL image/audio decode (JDK ImageIO + WAV RIFF
     // parse), video stubbed — typed features (rows-only)
     "q_multimodal" -> ((s, dir) =>
@@ -1060,6 +1181,80 @@ object SparkEntry {
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'MACHINERY'
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    "q_top_orders_per_segment" ->
+      """SELECT segment, o_orderkey, price_cents, rank_in_segment FROM (
+           SELECT c_mktsegment AS segment, o_orderkey,
+             cast(floor(o_totalprice * 100) AS bigint) AS price_cents,
+             cast(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cast(floor(o_totalprice * 100) AS bigint) DESC, o_orderkey)
+               AS int) AS rank_in_segment
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rank_in_segment <= 3""",
+    // DuckDB's native ASOF JOIN is the independent oracle for the
+    // union-window / broadcast-binary-search Spark implementations
+    "q_asof_config" ->
+      """WITH b AS (
+           SELECT event_type, user_id, epoch_us(ts) AS e_us,
+             epoch_us(ts) // 21600000000 AS bkt
+           FROM events),
+         s AS (
+           SELECT DISTINCT event_type, bkt AS version, bkt * 21600000000 AS snap_us
+           FROM b WHERE bkt % 4 = strlen(event_type) % 4)
+         SELECT b.event_type, s.version, count(*) AS n_events
+         FROM b ASOF JOIN s
+           ON b.event_type = s.event_type AND b.e_us >= s.snap_us
+         GROUP BY 1, 2""",
+    "q_range_windows" ->
+      """WITH b AS (
+           SELECT event_type, user_id, epoch_us(ts) AS e_us,
+             epoch_us(ts) // 21600000000 AS bkt
+           FROM events),
+         s AS (
+           SELECT DISTINCT event_type, bkt AS version, bkt * 21600000000 AS snap_us
+           FROM b WHERE bkt % 4 = strlen(event_type) % 4),
+         w AS (
+           SELECT event_type, version, snap_us AS w_start,
+             snap_us + 5400000000 AS w_end FROM s)
+         SELECT b.event_type, w.version, count(*) AS n_in_window,
+           count(DISTINCT b.user_id) AS n_users
+         FROM b JOIN w ON b.event_type = w.event_type
+           AND b.e_us BETWEEN w.w_start AND w.w_end
+         GROUP BY 1, 2""",
+    "q_bloom_incremental" ->
+      """SELECT doc_id FROM documents
+         WHERE doc_id % 3 = 0
+           AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)""",
+    "q_cdc_upsert" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_orderstatus,
+             cast(floor(o_totalprice * 100) AS bigint) AS price_cents
+           FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, price_cents + 1000 AS price_cents,
+             'U' AS op, 1 AS seq FROM snap WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents, 'D', 2
+           FROM snap WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 'N', price_cents, 'I', 1
+           FROM snap WHERE o_orderkey % 13 = 0),
+         win AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1)
+         SELECT s.o_orderkey, s.o_orderstatus, s.price_cents FROM snap s
+         WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, price_cents FROM win WHERE op <> 'D'""",
+    "q_pivot_type_hours" ->
+      """SELECT cast(hour(ts) AS int) AS hour,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS "view"
+         FROM events GROUP BY 1"""
   )
 }

@@ -219,6 +219,22 @@ object Tpch {
         count(lit(1)).as("n_items"))
   }
 
+  /** Per-group top-k: the k most expensive orders per market segment —
+    * [[graft.agg.TopK.perGroup]] over the customer⋈orders join, so the
+    * WindowGroupLimit rule bounds every map task to k rows per segment
+    * before the shuffle (a global TakeOrdered can't express "per group";
+    * a groupBy + sort would shuffle the whole fact). Order is total —
+    * (cents desc, orderkey) — so ranks are engine-independent. */
+  def topOrdersPerSegment(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.agg.TopK.perGroup(
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents")),
+      partitionCols = Seq(col("segment")),
+      orderCols = Seq(col("price_cents").desc, col("o_orderkey")),
+      k = k, rankName = "rank_in_segment")
+
   /** Anti-join shape: customers with NO order above the price threshold,
     * counted by market segment. The right side is filtered before the join
     * (predicate pushdown), and LEFT ANTI ships only the join key. */

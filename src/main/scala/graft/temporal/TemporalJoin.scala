@@ -1,0 +1,134 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.AsofFunctions.asof_index
+
+/** Temporal joins Spark lacks as built-ins, composed from operators it has.
+  *
+  * - [[asofJoin]]: each probe row picks the latest build row at-or-before its
+  *   timestamp (the "enrich with the config version that was active then"
+  *   join; DuckDB spells it ASOF JOIN, kdb+ `aj`). Implemented as the
+  *   union-merge: ONE shuffle on the key, one per-partition sort, a running
+  *   `last(ignoreNulls)` window — no inequality join, no row multiplication,
+  *   cost O((P+B) log(P+B)) per partition regardless of how many snapshots
+  *   precede each probe.
+  * - [[asofJoinBroadcast]]: the same semantics when the build side is SMALL
+  *   (config/dimension history): per-key sorted snapshot arrays are built
+  *   once, broadcast, and each probe row binary-searches them via the
+  *   codegen [[graft.functions.AsofIndex]] kernel — zero shuffle on the
+  *   probe side, O(log S) per row, immune to probe-key skew (a hot key costs
+  *   nothing extra because nothing shuffles).
+  * - [[rangeJoin]]: points⋈intervals containment join, binned: both sides
+  *   are keyed by fixed-width time buckets so the inequality join becomes an
+  *   equi-join on (keys, bucket) + an exact filter — a shuffle hash/merge
+  *   join instead of the broadcast-nested-loop Spark plans for a raw
+  *   inequality condition. The bucket key also SPREADS key skew: a hot key's
+  *   rows land across its time buckets instead of one reducer.
+  *
+  * Timestamps are epoch-microsecond bigints (the engine's cross-engine
+  * convention — raw timestamps never enter compared output). Both sides'
+  * non-key column names must be disjoint.
+  */
+object TemporalJoin {
+
+  private def snapStruct(build: DataFrame, keys: Seq[String], buildTs: String) = {
+    val vals = build.columns.filterNot(c => keys.contains(c) || c == buildTs).toSeq
+    require(vals.nonEmpty,
+      "as-of build side needs at least one value column beyond keys + timestamp")
+    (vals, struct(vals.map(col): _*))
+  }
+
+  /** Left as-of join: all probe columns, plus the build side's non-key
+    * non-ts columns from the latest build row with `buildTs` <= `probeTs`
+    * on equal `keys` (null when no build row qualifies). A build row AT the
+    * probe timestamp matches ("at or before"). If several build rows share
+    * (key, ts), which one wins is unspecified — keep build timestamps
+    * unique per key. Filter the result on a build column IS NOT NULL for
+    * inner-as-of semantics. */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTs: String, buildTs: String): DataFrame = {
+    val probeOnly = probe.columns.filterNot(keys.contains).toSeq
+    val (vals, snap) = snapStruct(build, keys, buildTs)
+    val snapType = StructType(vals.map(build.schema(_)))
+
+    val p = probe.select(
+      keys.map(col) ++
+        Seq(col(probeTs).as("__ts"), lit(1).as("__side")) ++
+        probeOnly.map(col) :+
+        lit(null).cast(snapType).as("__snap"): _*)
+    val b = build.select(
+      keys.map(col) ++
+        Seq(col(buildTs).as("__ts"), lit(0).as("__side")) ++
+        probeOnly.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        snap.as("__snap"): _*)
+
+    // build rows sort before probe rows at equal __ts (side 0 < 1), so a
+    // snapshot taken exactly at the probe instant is visible to it
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    p.unionByName(b)
+      .withColumn("__snap", last(col("__snap"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(probe.columns.map(col).toSeq ++ vals.map(v => col(s"__snap.$v").as(v)): _*)
+  }
+
+  /** [[asofJoin]] semantics with a BROADCAST build side: build collapses to
+    * one row per key holding its snapshots sorted by timestamp (ties broken
+    * by the value struct, so the array is deterministic), the probe
+    * broadcast-joins that, and `asof_index` binary-searches the timestamp
+    * array in generated code. The right plan whenever the build side is a
+    * config/dimension history that fits an executor — the probe side never
+    * shuffles. */
+  def asofJoinBroadcast(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTs: String, buildTs: String): DataFrame = {
+    val (vals, snap) = snapStruct(build, keys, buildTs)
+    val perKey = build
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(buildTs).as("ts"), snap.as("v")))).as("__snaps"))
+    probe
+      .join(broadcast(perKey), keys, "left")
+      // try_element_at, NOT element_at: asof_index is null-INTRODUCING
+      // (non-null inputs, null output when no snapshot qualifies), and ANSI
+      // element_at's static nullability ignores the ordinal's nullability
+      // (GetArrayItemUtil.computeNullabilityFromArray's failOnError branch) —
+      // over a non-nullable array the whole expression is marked non-null,
+      // codegen elides the index null check, and the uninitialized int slot
+      // (-1) silently selects the LAST element. try_element_at takes the
+      // always-nullable path; the index is valid-or-null, so semantics are
+      // unchanged. Regression-tested in TemporalJoinSpec ("inner-as-of
+      // filter...").
+      .withColumn("__v",
+        try_element_at(col("__snaps.v"), asof_index(col("__snaps.ts"), col(probeTs))))
+      .select(probe.columns.map(col).toSeq ++ vals.map(v => col(s"__v.$v").as(v)): _*)
+  }
+
+  /** Inner containment join: point rows paired with every interval row of
+    * equal `keys` whose [startTs, endTs] (inclusive both ends) contains
+    * `pointTs`. Each interval is exploded to the fixed-width buckets it
+    * covers (replication factor len/bucketWidth + 1 — pick bucketWidth near
+    * the typical interval length, the bin-size rule of the binned-range-join
+    * literature), each point computes its single bucket, and the join runs
+    * on (keys, bucket) with the exact containment filter after. Each
+    * qualifying (point, interval) pair appears exactly once: a point has one
+    * bucket and an interval covers it at most once — no dedup pass.
+    * Intervals with endTs < startTs produce nothing. Timestamps must be
+    * non-negative (`div` truncation = floor). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTs: String, startTs: String, endTs: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth out of range: $bucketWidth")
+    val pts = points.withColumn("__bkt", expr(s"$pointTs div ${bucketWidth}L"))
+    val ivs = intervals
+      .filter(col(endTs) >= col(startTs))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"$startTs div ${bucketWidth}L"), expr(s"$endTs div ${bucketWidth}L"))))
+    pts.join(ivs, (keys :+ "__bkt").toSeq)
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+      .drop("__bkt")
+  }
+}

@@ -232,6 +232,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(!_._3.contains("@")), "scrub must run on the stream")
   }
 
+  test("streaming as-of enrichment equals the batch broadcast as-of, incl. unmatched rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-sasof").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(4).write.mode("overwrite").parquet(dir) // several files → several micro-batches
+    def us(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"),
+      col("event_type"), unix_micros(col("ts").cast("timestamp")).as("e_us"))
+    val snaps = us(events)
+      .withColumn("bkt", expr("e_us div 21600000000L"))
+      .filter(col("bkt") % 4 === length(col("event_type")) % 4)
+      .select(col("event_type"), col("bkt").as("version"),
+        (col("bkt") * 21600000000L).as("snap_us"))
+      .distinct()
+    val stream = us(spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir))
+    val q = StreamingPipeline.asofEnrichedStream(stream, snaps,
+        Seq("event_type"), "e_us", "snap_us")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sasof_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select("event_id", "version")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    val streamed = canon(spark.table("sasof_out"))
+    val batch = canon(graft.temporal.TemporalJoin.asofJoinBroadcast(
+      us(events), snaps, Seq("event_type"), "e_us", "snap_us"))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    assert(streamed.exists(_._2 == -1L), "pre-first-snapshot events must survive as nulls")
+  }
+
   test("typed sources: dummy/parquet round-trip and union merge") {
     val dir = Files.createTempDirectory("graft-src").toString
     val d = TurnSources.dummy(spark, 10, 4)
