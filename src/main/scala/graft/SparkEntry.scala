@@ -509,6 +509,34 @@ object SparkEntry {
             .cast("bigint").as("p50_milli"),
           floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
             .cast("bigint").as("p95_milli"))),
+    // ordered-funnel analysis (graft.agg.Funnel): per (user, day), furthest
+    // stage of view→click→purchase in event order — N chained running-min
+    // windows over ONE exchange; depth histogram as output
+    "q_funnel" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("e_us"))
+      graft.agg.Funnel.depth(e,
+          entity = col("user_id") * 100000L + expr("e_us div 86400000000L"),
+          stageType = col("event_type"), ts = col("e_us"), tie = col("event_id"),
+          stages = Seq("view", "click", "purchase"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_entities"))
+    }),
+    // edit-distance refinement of the n-gram Jaccard candidate pairs:
+    // levenshtein runs only on the blocked candidate set (never N²), on
+    // 80-char prefixes — the verify stage of a fuzzy-dedup chain
+    "q_edit_refine" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = NgramJaccard.pairs(docs, n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val pfx = docs.select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"))
+      pairs
+        .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")), Seq("id_a"))
+        .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+    }),
     // pivot with EXPLICIT values (no driver-side distinct pre-scan): hourly
     // activity matrix, one codegen'd aggregate pass
     "q_pivot_type_hours" -> ((s, dir) => {
@@ -1221,6 +1249,60 @@ object SparkEntry {
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
          GROUP BY 1, 2""",
+    "q_funnel" ->
+      """WITH base AS (
+           SELECT user_id * 100000 + (epoch_us(ts) // 86400000000) AS ent,
+             event_type, epoch_us(ts) AS e_us, event_id
+           FROM events),
+         l0 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN e_us END) OVER (
+             PARTITION BY ent ORDER BY e_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+           FROM base),
+         l1 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+               THEN e_us END) OVER (
+             PARTITION BY ent ORDER BY e_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1
+           FROM l0),
+         l2 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+               THEN e_us END) OVER (
+             PARTITION BY ent ORDER BY e_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+           FROM l1),
+         d AS (
+           SELECT ent, max(CASE WHEN m2 IS NOT NULL THEN 3
+                                WHEN m1 IS NOT NULL THEN 2
+                                WHEN m0 IS NOT NULL THEN 1
+                                ELSE 0 END) AS depth
+           FROM l2 GROUP BY ent)
+         SELECT depth, count(*) AS n_entities FROM d GROUP BY depth""",
+    "q_edit_refine" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN ['']
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' ')))
+             END AS sh
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE cast(len(list_intersect(a.sh, b.sh)) AS double) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         px AS (SELECT doc_id, substr(text, 1, 80) AS pfx FROM documents)
+         SELECT p.id_a, p.id_b,
+           cast(levenshtein(a.pfx, b.pfx) AS int) AS edit_dist
+         FROM p
+         JOIN px a ON a.doc_id = p.id_a
+         JOIN px b ON b.doc_id = p.id_b
+         WHERE levenshtein(a.pfx, b.pfx) <= 20""",
     "q_bloom_incremental" ->
       """SELECT doc_id FROM documents
          WHERE doc_id % 3 = 0
