@@ -59,7 +59,11 @@ object Bench {
     // (zero-exchange) join; its bucketed tables are written once in the
     // phase-3 warm-up (that shuffle is the INGEST cost by design, not a
     // per-query cost — timing it per rep would misstate both stories)
-    "q_tpch_bucketed_revenue")
+    "q_tpch_bucketed_revenue",
+    // round-5 operator wave: broadcast as-of join (codegen binary search),
+    // CDC changelog compaction (group-limit winners + anti-join), funnel
+    // (N chained windows over one exchange)
+    "q_asof_config", "q_cdc_upsert", "q_funnel")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -509,6 +509,25 @@ object SparkEntry {
             .cast("bigint").as("p50_milli"),
           floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
             .cast("bigint").as("p95_milli"))),
+    // size-proportional systematic sampling: deterministic PPS via stride
+    // boundaries in the per-shard token layout (no RNG, integer-only)
+    "q_sample_pps" -> ((s, dir) =>
+      TextAnalysis.samplePps(s.read.parquet(s"$dir/documents.parquet"),
+        strideTokens = 256, nShards = 8)),
+    // incremental aggregate MAINTENANCE: the post-changelog (count, sum)
+    // aggregate produced from the OLD aggregate + deltas — the snapshot is
+    // probed once with a broadcast winner set, never shuffled or
+    // re-aggregated; the oracle recomputes from scratch, so equality proves
+    // the incremental path (graft.cdc.Cdc.maintainCountSum)
+    "q_incr_agg" -> ((s, dir) => {
+      val snap = cdcSnapshot(s, dir)
+      val oldAgg = snap.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("revenue_cents"))
+      graft.cdc.Cdc.maintainCountSum(oldAgg, snap, cdcChangelog(snap),
+        keys = Seq("o_orderkey"), groupCol = "o_orderstatus",
+        valueCol = "price_cents", seqCol = "seq", opCol = "op",
+        cntName = "n_orders", sumName = "revenue_cents")
+    }),
     // ordered-funnel analysis (graft.agg.Funnel): per (user, day), furthest
     // stage of view→click→purchase in event order — N chained running-min
     // windows over ONE exchange; depth histogram as output
@@ -1249,6 +1268,46 @@ object SparkEntry {
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
          GROUP BY 1, 2""",
+    "q_sample_pps" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+           FROM documents),
+         p AS (
+           SELECT doc_id, shard, nt,
+             coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           FROM t)
+         SELECT doc_id, shard, cast(nt AS int) AS n_tokens
+         FROM p
+         WHERE nt > 0 AND ((pfx + nt - 1) // 256 > pfx // 256 OR pfx % 256 = 0)""",
+    "q_incr_agg" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_orderstatus,
+             cast(floor(o_totalprice * 100) AS bigint) AS price_cents
+           FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, price_cents + 1000 AS price_cents,
+             'U' AS op, 1 AS seq FROM snap WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents, 'D', 2
+           FROM snap WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 'N', price_cents, 'I', 1
+           FROM snap WHERE o_orderkey % 13 = 0),
+         win AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         merged AS (
+           SELECT s.o_orderkey, s.o_orderstatus, s.price_cents FROM snap s
+           WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents FROM win WHERE op <> 'D')
+         SELECT o_orderstatus, count(*) AS n_orders,
+           cast(sum(price_cents) AS bigint) AS revenue_cents
+         FROM merged GROUP BY 1""",
     "q_funnel" ->
       """WITH base AS (
            SELECT user_id * 100000 + (epoch_us(ts) // 86400000000) AS ent,

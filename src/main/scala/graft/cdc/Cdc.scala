@@ -30,14 +30,61 @@ object Cdc {
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String): DataFrame = {
     val dataCols = snapshot.columns.toSeq
-    // deterministic winner even on seq ties: order by every column
-    val tiebreak = changelog.columns.filterNot(c => keys.contains(c) || c == seqCol)
-      .map(col(_).desc).toSeq
-    val winners = TopK.perGroup(changelog, keys.map(col),
-        col(seqCol).desc +: tiebreak, k = 1, rankName = "__rn")
+    val winners = changeWinners(changelog, keys, seqCol)
     snapshot
       .join(winners.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(
         winners.filter(col(opCol) =!= "D").select(dataCols.map(col): _*))
+  }
+
+  /** One winning change row per key: highest seq, deterministic on ties
+    * (ordered by every remaining column). */
+  private def changeWinners(changelog: DataFrame, keys: Seq[String],
+      seqCol: String): DataFrame = {
+    val tiebreak = changelog.columns.filterNot(c => keys.contains(c) || c == seqCol)
+      .map(col(_).desc).toSeq
+    TopK.perGroup(changelog, keys.map(col),
+      col(seqCol).desc +: tiebreak, k = 1, rankName = "__rn")
+  }
+
+  /** Incremental MAINTENANCE of a (count, sum) aggregate under a changelog —
+    * the next snapshot's `groupBy(groupCol).agg(count, sum(valueCol))`
+    * WITHOUT recomputing it from the next snapshot. The 100 TB story: a
+    * nightly re-aggregation scans and shuffles the whole fact table; this
+    * maintains the same result touching the snapshot exactly once with a
+    * BROADCAST probe (no snapshot shuffle, no snapshot aggregation) plus
+    * delta-sized shuffles:
+    *
+    *  - minus-deltas: snapshot ⋈ broadcast(winner keys) INNER join picks the
+    *    superseded old rows (the planner streams the snapshot, builds the
+    *    tiny winner set) → (-1, -value) per old row
+    *  - plus-deltas: non-delete winners → (+1, +value), no join at all
+    *  - deltas aggregate (delta-sized) and full-outer-merge into `oldAgg`
+    *    (agg-sized); groups reaching count 0 disappear, new groups appear
+    *
+    * Result provably equals recomputation over [[applyChangelog]]'s output
+    * (CdcSpec parity test; the driver oracle recomputes from scratch in
+    * DuckDB). `oldAgg` must be the (groupCol, cntName, sumName) aggregate of
+    * `snapshot`. */
+  def maintainCountSum(oldAgg: DataFrame, snapshot: DataFrame, changelog: DataFrame,
+      keys: Seq[String], groupCol: String, valueCol: String,
+      seqCol: String, opCol: String,
+      cntName: String = "n_rows", sumName: String = "total"): DataFrame = {
+    val winners = changeWinners(changelog, keys, seqCol)
+    val minus = snapshot
+      .join(broadcast(winners.select(keys.map(col): _*)), keys)
+      .select(col(groupCol).as("__g"), lit(-1L).as("__c"),
+        (-col(valueCol)).cast("long").as("__v"))
+    val plus = winners.filter(col(opCol) =!= "D")
+      .select(col(groupCol).as("__g"), lit(1L).as("__c"),
+        col(valueCol).cast("long").as("__v"))
+    val delta = minus.unionByName(plus)
+      .groupBy(col("__g")).agg(sum(col("__c")).as("__dc"), sum(col("__v")).as("__dv"))
+    oldAgg.join(delta, oldAgg(groupCol) === delta("__g"), "full_outer")
+      .select(
+        coalesce(col(groupCol), col("__g")).as(groupCol),
+        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntName),
+        (coalesce(col(sumName), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumName))
+      .filter(col(cntName) > 0)
   }
 }

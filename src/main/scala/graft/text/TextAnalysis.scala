@@ -358,6 +358,32 @@ object TextAnalysis {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens).cast("long"))
   }
 
+  /** Size-proportional systematic sampling (PPS): lay each shard's documents
+    * out in id order and pick every document whose token span contains a
+    * stride boundary (a multiple of `strideTokens`, including its own start
+    * landing exactly on one) — P(pick) = min(1, n_tokens/stride), with
+    * exactly ⌈shard_tokens/stride⌉ picks per shard, fully deterministic (no
+    * RNG: the "random phase" is the layout) and integer-only (`div`, `%`),
+    * so any engine reproduces it bit-for-bit. The standard way to draw a
+    * token-budgeted subset in which long documents are proportionally
+    * represented. Same per-shard prefix-sum machinery as [[packs]]:
+    * parallel across shards, never a global sort. */
+  def samplePps(docs: DataFrame, strideTokens: Int = 256, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", pmod(col(idCol), lit(nShards)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__pfx", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("n_tokens") > 0 && (
+        expr(s"(__pfx + n_tokens - 1) div $strideTokens") >
+          expr(s"__pfx div $strideTokens") ||
+          col("__pfx") % strideTokens === 0))
+      .select(col(idCol), col("shard"), col("n_tokens"))
+  }
+
   // -- URL/domain analysis ----------------------------------------------------
 
   /** Per-domain URL counts over a corpus (provenance audits, domain quotas).

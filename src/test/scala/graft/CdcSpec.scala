@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc.Cdc
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Semantics tests for changelog compaction (MERGE INTO shape). */
 class CdcSpec extends SparkSpec {
@@ -36,6 +37,37 @@ class CdcSpec extends SparkSpec {
     val once = Cdc.applyChangelog(snap, ch, Seq("id"), "seq", "op")
     val twice = Cdc.applyChangelog(once, ch, Seq("id"), "seq", "op")
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("maintainCountSum equals recomputation over applyChangelog's output") {
+    val ch = Seq(
+      (1L, "a", 110L, "U", 1L),   // update within group a
+      (2L, "b", 0L, "D", 1L),     // delete the only b row → group vanishes
+      (4L, "c", 400L, "I", 1L),   // insert into existing group c
+      (5L, "z", 500L, "I", 1L)    // insert creating a NEW group
+    ).toDF("id", "status", "cents", "op", "seq")
+    val oldAgg = snap.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cents").as("total"))
+    val incr = graft.cdc.Cdc.maintainCountSum(oldAgg, snap, ch,
+      Seq("id"), "status", "cents", "seq", "op")
+    val recomputed = graft.cdc.Cdc.applyChangelog(snap, ch, Seq("id"), "seq", "op")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cents").as("total"))
+    val a = incr.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = recomputed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(!a.exists(_._1 == "b"), "deleted-out group must disappear")
+    assert(a.exists(_._1 == "z"), "inserted group must appear")
+  }
+
+  test("maintainCountSum plan: snapshot probed via broadcast, never shuffled for the minus join") {
+    val q = SparkEntry.queries("q_incr_agg")(spark, "/root/testdata/sf0.001")
+    graft.tools.PlanPin.withStaticPlans(spark) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    }
   }
 
   test("plan: winner selection pushes a group limit below the shuffle; supersede is an anti-join") {

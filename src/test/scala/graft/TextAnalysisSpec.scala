@@ -256,4 +256,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
     assert(fps(1L) !== fps(4L))
   }
+
+  test("samplePps: deterministic, long docs always picked, per-shard pick count bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = graft.text.TextAnalysis.samplePps(docs, strideTokens = 256, nShards = 8)
+    val picks = s1.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(picks.nonEmpty)
+    // deterministic: a second run is identical
+    val s2 = graft.text.TextAnalysis.samplePps(docs, strideTokens = 256, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(picks.sorted.sameElements(s2.sorted))
+    // a document spanning >= stride tokens must contain a boundary
+    val longDocs = graft.text.TextAnalysis.withPacks(
+        docs.withColumn("shard", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(8))),
+        256, Seq("shard"), "doc_id")
+      .filter(org.apache.spark.sql.functions.col("n_tokens") >= 256)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(longDocs.subsetOf(picks.map(_._1).toSet))
+    // per shard: picks <= ceil(shard_tokens/256) (each boundary picks at most one doc)
+    val tokensPerShard = graft.text.TextAnalysis.withPacks(
+        docs.withColumn("shard", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(8))),
+        256, Seq("shard"), "doc_id")
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val picksPerShard = picks.groupBy(_._2).view.mapValues(_.length).toMap
+    picksPerShard.foreach { case (sh, n) =>
+      assert(n <= (tokensPerShard(sh) + 255) / 256, s"shard $sh: $n picks")
+    }
+  }
 }
