@@ -509,6 +509,14 @@ object SparkEntry {
             .cast("bigint").as("p50_milli"),
           floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
             .cast("bigint").as("p95_milli"))),
+    // cohort retention matrix: window cohort anchor + distinct-count per
+    // (cohort, offset) — the retention-curve backbone (graft.agg.Retention)
+    "q_retention" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      graft.agg.Retention.cohortMatrix(e, col("user_id"), col("day"))
+    }),
     // size-proportional systematic sampling: deterministic PPS via stride
     // boundaries in the per-shard token layout (no RNG, integer-only)
     "q_sample_pps" -> ((s, dir) =>
@@ -1268,6 +1276,16 @@ object SparkEntry {
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
          GROUP BY 1, 2""",
+    "q_retention" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         f AS (
+           SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort
+           FROM b)
+         SELECT cohort, day - cohort AS day_offset,
+           count(DISTINCT user_id) AS n_active
+         FROM f GROUP BY 1, 2""",
     "q_sample_pps" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS shard,

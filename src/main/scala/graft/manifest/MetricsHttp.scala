@@ -217,9 +217,65 @@ final class MetricsHttp(root: String, port: Int,
         s""""active_stages":${st.getActiveStageIds().mkString("[", ",", "]")}}"""
   }
 
+  private def htmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Server-rendered status page — the lightweight stand-in for the
+    * reference's web UI (web/ui): one HTML document over the same manifest
+    * cells and live roster the JSON routes serve, no scripts, rendered
+    * per request so it is always current. Anything but "/" under the root
+    * context is a 404 (the JDK server routes unmatched paths here). */
+  private def indexBody(): String = {
+    val entries = jsonFiles(n => n.endsWith(".json") && !n.startsWith("_"))
+    val runs = jsonFiles(n => n.startsWith("_metrics_") && n.endsWith(".json"))
+    val sinkRows = entries.map { e =>
+      s"<tr><td>${htmlEsc(e.get("sink").asText)}</td>" +
+        s"<td>${e.get("row_count").asLong}</td><td>${e.get("bytes").asLong}</td>" +
+        s"<td>${e.get("convs").asLong}</td></tr>"
+    }.mkString
+    val execRows = spark.toSeq.flatMap { s =>
+      s.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+        s"<tr><td>${htmlEsc(e.host)}:${e.port}</td><td>${e.numRunningTasks()}</td>" +
+          s"<td>${e.cacheSize()}</td></tr>"
+      }
+    }.mkString
+    val clusterSection =
+      if (spark.isDefined)
+        s"""<h2>Executors</h2><table border="1" cellpadding="4">
+           |<tr><th>node</th><th>running tasks</th><th>cache bytes</th></tr>$execRows</table>"""
+          .stripMargin
+      else "<h2>Executors</h2><p>sidecar mode — no live session</p>"
+    s"""<!doctype html><html><head><title>graft status</title></head><body>
+       |<h1>graft pipeline status</h1>
+       |<p>${entries.size} committed sinks · ${runs.size} recorded runs ·
+       |<a href="/sinks">sinks</a> · <a href="/runs">runs</a> ·
+       |<a href="/snapshots">snapshots</a> · <a href="/metrics">metrics</a> ·
+       |<a href="/cluster">cluster</a> · <a href="/healthz">healthz</a></p>
+       |<h2>Committed sinks</h2><table border="1" cellpadding="4">
+       |<tr><th>sink</th><th>rows</th><th>bytes</th><th>convs</th></tr>$sinkRows</table>
+       |$clusterSection
+       |</body></html>""".stripMargin
+  }
+
   /** Starts the server; returns the bound port (use port=0 for ephemeral). */
   def start(): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          val (code, payload, ct) =
+            if (ex.getRequestURI.getPath == "/")
+              try (200, indexBody(), "text/html; charset=utf-8")
+              catch { case e: Exception =>
+                (500, s"""{"error":${jsonString(e.toString)}}""", "application/json") }
+            else (404, """{"error":"not found"}""", "application/json")
+          val bytes = payload.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", ct)
+          ex.sendResponseHeaders(code, bytes.length)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        } finally ex.close()
+    })
     s.createContext("/sinks",
       handler(() => listJson(n => n.endsWith(".json") && !n.startsWith("_"))))
     s.createContext("/runs",

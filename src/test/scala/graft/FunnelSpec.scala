@@ -38,6 +38,25 @@ class FunnelSpec extends SparkSpec {
     assert(got === Map(1L -> 2)) // click@20 is after first view@10
   }
 
+  test("cohort retention: anchor, offsets, and the offset-0 dominance invariant") {
+    val got = graft.agg.Retention.cohortMatrix(
+        Seq((1L, 10L), (1L, 12L), (2L, 10L), (2L, 10L), (3L, 12L), (3L, 13L))
+          .toDF("u", "d"), col("u"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort day-10 = {1, 2}: both at offset 0, only user 1 back at offset 2
+    // cohort day-12 = {3}: offset 0 and 1
+    assert(got === Map((10L, 0L) -> 2L, (10L, 2L) -> 1L, (12L, 0L) -> 1L, (12L, 1L) -> 1L))
+    // real data: every offset cell is bounded by its cohort's size
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+    val m = graft.agg.Retention.cohortMatrix(e, col("user_id"), col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.nonEmpty)
+    m.foreach { case ((c, off), n) =>
+      assert(n <= m((c, 0L)), s"cohort $c offset $off: $n > size ${m((c, 0L))}")
+    }
+  }
+
   test("one exchange for the whole funnel: windows and aggregate share the entity partitioning") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("event_type"), col("user_id"),

@@ -185,6 +185,34 @@ class ManifestSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("HTML status page: sink table, live roster, endpoint links, 404 elsewhere") {
+    val out = Files.createTempDirectory("graft-html").toString
+    Pipeline.run(spark, sfDir, out, runId = "rhtml")
+    val srv = new graft.manifest.MetricsHttp(out, 0, spark = Some(spark))
+    val port = srv.start()
+    try {
+      def get(path: String): java.net.http.HttpResponse[String] = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val page = get("/")
+      assert(page.statusCode() === 200)
+      assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      val html = page.body()
+      new Manifest(out).committedSinks().foreach { s =>
+        assert(html.contains(s"<td>$s</td>"), s"sink $s missing from status page")
+      }
+      Seq("/sinks", "/runs", "/snapshots", "/metrics", "/cluster").foreach { l =>
+        assert(html.contains(s"""href="$l""""), s"missing link $l")
+      }
+      assert(html.contains("Executors") && html.contains("<td>"))
+      assert(get("/no-such-page").statusCode() === 404)
+    } finally srv.stop()
+  }
+
   test("cluster view endpoint: executor roster, ?node= filter, sidecar degradation") {
     val out = Files.createTempDirectory("graft-cluster").toString
     val srv = new graft.manifest.MetricsHttp(out, 0, spark = Some(spark))
