@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table ingest (q_tpch_bucketed_revenue) lands on scratch,
+      // not a spark-warehouse/ dir under the caller's cwd
+      .config("spark.sql.warehouse.dir",
+        s"${graft.util.Env.scratchDir}/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

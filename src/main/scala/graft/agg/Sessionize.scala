@@ -89,9 +89,12 @@ object Sessionize {
       // 'conv-123456' sharding on '12345' — instead of failing); 18 digits is
       // the full Long-safe width, so every conforming id shards on its entire
       // suffix
-      .withColumn("shard", when(!col("conv_id").rlike("^conv-[0-9]{1,18}$"),
+      // isNull checked explicitly: `!rlike` is NULL (not true) for a null id,
+      // which would skip the guard and emit a silent null shard
+      .withColumn("shard", when(col("conv_id").isNull ||
+          !col("conv_id").rlike("^conv-[0-9]{1,18}$"),
         raise_error(concat(lit("sessionPacks: conv_id does not match conv-<digits>: "),
-          col("conv_id"))).cast("long"))
+          coalesce(col("conv_id"), lit("NULL")))).cast("long"))
         .otherwise(pmod(substring(col("conv_id"), 6, 18).cast("long"), lit(nShards))))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("conv_id"), col("session_idx"))

@@ -80,7 +80,9 @@ object Cdc {
         col(valueCol).cast("long").as("__v"))
     val delta = minus.unionByName(plus)
       .groupBy(col("__g")).agg(sum(col("__c")).as("__dc"), sum(col("__v")).as("__dv"))
-    oldAgg.join(delta, oldAgg(groupCol) === delta("__g"), "full_outer")
+    // null-safe <=>: with === a NULL group key never matches itself, so the
+    // old row and its delta would land in two unmatched output rows
+    oldAgg.join(delta, oldAgg(groupCol) <=> delta("__g"), "full_outer")
       .select(
         coalesce(col(groupCol), col("__g")).as(groupCol),
         (coalesce(col(cntName), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntName),

@@ -50,7 +50,13 @@ object BloomDedup {
   def newDocs(incoming: DataFrame, corpus: DataFrame, textCol: String,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     val bloom = bloomBytes(corpus, xxhash64(col(textCol)), expectedItems, numBits)
-    val suspect = mightContain(bloom, xxhash64(col(textCol)))
+    // empty (or all-null-text) corpus: the sketch aggregate returns null —
+    // nothing can match, every incoming row is new
+    if (bloom == null) return incoming
+    // coalesce: a null textCol hashes to null → might_contain null → the row
+    // would vanish from BOTH filter branches; the anti-join this must equal
+    // KEEPS null-key rows, so route them through the definitely-new branch
+    val suspect = coalesce(mightContain(bloom, xxhash64(col(textCol))), lit(false))
     val confirmedNew = incoming.filter(suspect)
       .join(corpus.select(col(textCol).as("__corpus_text")),
         col(textCol) === col("__corpus_text"), "left_anti")

@@ -228,11 +228,13 @@ final class Manifest(root: String) {
     * `batch=<id>` dir that already exists. A crash mid-commit (some sinks
     * promoted, some not) resumes by promoting exactly the missing ones: no
     * routed row is ever written twice (the north-rule resume invariant,
-    * streaming edition). The snapshot audit log gets one record per
-    * (sink, batch); on the crash-replay edge a duplicate audit record with
-    * identical content can appear — the DATA stays exactly-once, and the
-    * dup is detectable by its (sink, run_id) key. A fully-committed batch
-    * short-circuits on its marker file. */
+    * streaming edition). The snapshot audit log gets exactly one record per
+    * (sink, batch): each record is appended immediately after its sink's
+    * promotion, and a replay that meets an already-promoted target appends
+    * the record only if the previous attempt died inside that sink's
+    * move→append window ([[streamAuditedSinks]]) — neither lost nor
+    * duplicated audit rows. A fully-committed batch short-circuits on its
+    * marker file. */
   def commitStreamBatch(batch: DataFrame, batchId: Long): Unit = {
     Files.createDirectories(manifestDir)
     Files.createDirectories(tmpDir)
@@ -245,33 +247,65 @@ final class Manifest(root: String) {
     batch.write.mode("overwrite").partitionBy("sink").parquet(staging.toString)
     val sinkDirs = graft.util.Fs.listDir(staging)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sink="))
-    val committed = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    // ALL sinks' stats in ONE job over the partitioned staging root (the
+    // earlier per-sink aggregates paid one driver job round-trip per sink
+    // per micro-batch — scheduling overhead dominates tiny frequent batches)
+    val stagedStats = spark.read.parquet(staging.toString)
+      .groupBy(col("sink"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
+        countDistinct(col("conv_id")).as("convs"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // replay recovery: sinks whose audit record already reached the log (a
+    // crash can land between a sink's move and its append — only consulted
+    // when a replay actually meets an already-promoted target)
+    lazy val alreadyLogged = streamAuditedSinks(batchId)
+    var appended = 0
     sinkDirs.foreach { dir =>
       val sink = dir.getFileName.toString.stripPrefix("sink=")
       val target = Paths.get(sinkPath(sink), s"batch=$batchId")
-      if (!Files.exists(target)) {
-        // per-sink stats from the STAGED files (tiny scan of what was just
-        // written; the batch plan is not recomputed)
-        val st = spark.read.parquet(dir.toString)
-          .agg(count(lit(1)).as("rows"),
-            coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
-            countDistinct(col("conv_id")).as("convs"))
-          .collect()(0)
-        Files.createDirectories(target.getParent)
-        Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
-        committed += ((sink, st.getLong(0), st.getLong(1), st.getLong(2)))
-      } // else: replay — this sink already promoted by a previous attempt
-    }
-    committed.foreach { case (sink, rows, bytes, convs) =>
-      appendSnapshot(sid => streamSnapshotRecord(sid, sink, batchId, rows, bytes, convs))
+      val promoted =
+        if (!Files.exists(target)) {
+          Files.createDirectories(target.getParent)
+          Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
+          true
+        } else false // replay — already promoted by a previous attempt
+      // audit record appended immediately after THIS sink's promotion (not
+      // after all of them), and re-appended on replay if the previous attempt
+      // died in the move→append window; foreachBatch replays a batch with
+      // identical content, so the staged stats equal the promoted dir's
+      if (promoted || !alreadyLogged(sink)) {
+        val (rows, bytes, convs) = stagedStats(sink)
+        appendSnapshot(sid => streamSnapshotRecord(sid, sink, batchId, rows, bytes, convs))
+        appended += 1
+      }
     }
     deleteRecursively(staging)
     val tmpMarker = tmpDir.resolve(s"_stream_batch_$batchId-${java.util.UUID.randomUUID()}.json")
     Files.writeString(tmpMarker,
-      s"""{"batch_id":$batchId,"sinks":${committed.size},""" +
+      s"""{"batch_id":$batchId,"sinks":$appended,""" +
         s""""committed_ts":"${java.time.Instant.now()}"}""")
     Files.move(tmpMarker, marker,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Sinks with a committed-stream audit record for `batchId` — the replay
+    * recovery read; tolerant of mid-write records like every log reader. */
+  private def streamAuditedSinks(batchId: Long): Set[String] = {
+    if (!Files.isDirectory(snapshotDir)) return Set.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val runId = s"stream-batch-$batchId"
+    graft.util.Fs.listDir(snapshotDir)
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .flatMap { p =>
+        try {
+          val n = om.readTree(Files.readString(p))
+          if (n.hasNonNull("run_id") && n.get("run_id").asText == runId &&
+            n.hasNonNull("sink")) Some(n.get("sink").asText)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.toSet
   }
 
   private def streamSnapshotRecord(snapshotId: Long, sink: String, batchId: Long,

@@ -58,15 +58,28 @@ final class MetricsHttp(root: String, port: Int,
       .mkString("[", ",", "]")
   }
 
+  /** Single response writer shared by every route. */
+  private def respond(ex: HttpExchange, code: Int, payload: String, ct: String): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", ct)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** A monitoring sidecar degrades, it never drops connections: every route
+    * funnels through this — a body() failure is a 500 with a JSON error,
+    * not an unanswered exchange (client-side connection reset). */
   private def handler(body: () => String,
       contentType: String = "application/json"): HttpHandler = new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      val bytes = body().getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", contentType)
-      ex.sendResponseHeaders(200, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-    }
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val (code, payload, ct) =
+          try (200, body(), contentType)
+          catch { case e: Exception =>
+            (500, s"""{"error":${jsonString(e.toString)}}""", "application/json") }
+        respond(ex, code, payload, ct)
+      } finally ex.close()
   }
 
   private def jsonFiles(filter: String => Boolean): Seq[com.fasterxml.jackson.databind.JsonNode] = {
@@ -124,7 +137,8 @@ final class MetricsHttp(root: String, port: Int,
       if (ps != null) ps.properties().forEach { e =>
         val acc = perSink.getOrElseUpdate(e.getKey, new Array[Long](fields.size))
         fields.zipWithIndex.foreach { case (f, i) =>
-          acc(i) += e.getValue.get(f).asLong }
+          // a run file from an older build may lack a field — scrape the rest
+          acc(i) += Option(e.getValue.get(f)).map(_.asLong).getOrElse(0L) }
       }
     }
     fields.zipWithIndex.foreach { case (f, i) =>
@@ -148,13 +162,11 @@ final class MetricsHttp(root: String, port: Int,
   }
 
   /** Query-param-aware handler (the plain one ignores the request URI). */
+  /** Query-param-aware [[handler]]: a malformed query string (bad
+    * percent-encoding → URLDecoder throws) is a 400, body() failures a 500. */
   private def paramHandler(body: Map[String, String] => String,
       contentType: String = "application/json"): HttpHandler = new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      // a monitoring sidecar degrades, it does not drop connections: a
-      // malformed query string (bad percent-encoding → URLDecoder throws) is
-      // a 400 with a JSON error body, any body() failure a 500 — never an
-      // unanswered exchange (which surfaces client-side as connection reset)
+    override def handle(ex: HttpExchange): Unit =
       try {
         val status =
           try Right(
@@ -173,13 +185,8 @@ final class MetricsHttp(root: String, port: Int,
             (code, s"""{"error":${jsonString(s"bad query string: $msg")}}""",
               "application/json")
         }
-        val bytes = payload.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", ct)
-        ex.sendResponseHeaders(code, bytes.length)
-        val os = ex.getResponseBody
-        try os.write(bytes) finally os.close()
+        respond(ex, code, payload, ct)
       } finally ex.close()
-    }
   }
 
   private def jsonString(s: String): String =
@@ -269,11 +276,7 @@ final class MetricsHttp(root: String, port: Int,
               catch { case e: Exception =>
                 (500, s"""{"error":${jsonString(e.toString)}}""", "application/json") }
             else (404, """{"error":"not found"}""", "application/json")
-          val bytes = payload.getBytes(StandardCharsets.UTF_8)
-          ex.getResponseHeaders.add("Content-Type", ct)
-          ex.sendResponseHeaders(code, bytes.length)
-          val os = ex.getResponseBody
-          try os.write(bytes) finally os.close()
+          respond(ex, code, payload, ct)
         } finally ex.close()
     })
     s.createContext("/sinks",

@@ -21,10 +21,12 @@ object PlanPin {
       shuffleExchanges: Int,
       broadcastJoins: Int,
       sortMergeJoins: Int,
-      cartesians: Int) {
+      cartesians: Int,
+      nestedLoopJoins: Int = 0) {
     override def toString: String =
       s"PlanStats(shuffleExchanges = $shuffleExchanges, broadcastJoins = $broadcastJoins, " +
-        s"sortMergeJoins = $sortMergeJoins, cartesians = $cartesians)"
+        s"sortMergeJoins = $sortMergeJoins, cartesians = $cartesians" +
+        (if (nestedLoopJoins != 0) s", nestedLoopJoins = $nestedLoopJoins" else "") + ")"
   }
 
   private def countOf(plan: String, pattern: String): Int =
@@ -35,9 +37,13 @@ object PlanPin {
     PlanStats(
       shuffleExchanges = countOf(plan,
         "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"),
-      broadcastJoins = countOf(plan, "BroadcastHashJoin|BroadcastNestedLoopJoin"),
+      // BNLJ counted SEPARATELY: an equi-join degrading to a nested-loop
+      // join is exactly the regression class the pin exists to catch — in
+      // one bucket with BHJ the fingerprint would not change
+      broadcastJoins = countOf(plan, "BroadcastHashJoin"),
       sortMergeJoins = countOf(plan, "SortMergeJoin"),
-      cartesians = countOf(plan, "CartesianProduct"))
+      cartesians = countOf(plan, "CartesianProduct"),
+      nestedLoopJoins = countOf(plan, "BroadcastNestedLoopJoin"))
   }
 
   /** The headline queries whose shapes are pinned (Bench's set). */
@@ -65,6 +71,8 @@ object PlanPin {
       .appName("graft-planpin")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        s"${graft.util.Env.scratchDir}/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

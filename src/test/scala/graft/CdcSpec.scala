@@ -62,6 +62,20 @@ class CdcSpec extends SparkSpec {
     assert(a.exists(_._1 == "z"), "inserted group must appear")
   }
 
+  test("maintainCountSum: NULL group keys merge null-safely") {
+    val snapN = Seq((1L, Option.empty[String], 100L), (2L, Option("b"), 200L))
+      .toDF("id", "status", "cents")
+    val ch = Seq((1L, Option.empty[String], 0L, "D", 1L))
+      .toDF("id", "status", "cents", "op", "seq")
+    val oldAgg = snapN.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("total"))
+    val got = Cdc.maintainCountSum(oldAgg, snapN, ch, Seq("id"), "status", "cents", "seq", "op")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    // the NULL-status group's only row was deleted: with === the old row and
+    // its delta would never meet and a stale (null, 1, 100) row would survive
+    assert(got === Set((Some("b"), 1L, 200L)))
+  }
+
   test("maintainCountSum plan: snapshot probed via broadcast, never shuffled for the minus join") {
     val q = SparkEntry.queries("q_incr_agg")(spark, "/root/testdata/sf0.001")
     graft.tools.PlanPin.withStaticPlans(spark) {

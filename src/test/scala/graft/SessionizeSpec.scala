@@ -123,6 +123,18 @@ class SessionizeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length === 1, plan.take(1200))
   }
 
+  test("sessionPacks fails fast on a NULL conv id (the !rlike guard alone null-skips)") {
+    val bad = Seq((null.asInstanceOf[String], 0, t(0), "some words here"))
+      .toDF("conv_id", "turn_idx", "ts", "text")
+    val e = intercept[Exception] {
+      Sessionize.sessionPacks(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("conv-<digits>")),
+      s"expected the raise_error guard, got: ${e.getMessage}")
+  }
+
   test("sessionPacks fails fast on conv ids outside the input_hint contract") {
     val bad = Seq(("oops", 0, t(0), "some words here"))
       .toDF("conv_id", "turn_idx", "ts", "text")

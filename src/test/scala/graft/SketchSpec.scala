@@ -22,6 +22,21 @@ class SketchSpec extends SparkSpec {
     assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
   }
 
+  test("BloomDedup edge cases: empty corpus returns ALL incoming; null text survives") {
+    val incoming = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    // empty corpus: the sketch aggregate yields null — nothing may be dropped
+    assert(BloomDedup.newDocs(incoming, incoming.filter(lit(false)), "text")
+      .count() === 2L)
+    // null-text rows never equal anything: the anti-join keeps them, so the
+    // bloom path must too (they hash to null → must not vanish from both
+    // filter branches)
+    val corpus = Seq((9L, "a")).toDF("doc_id", "text")
+    val got = BloomDedup.newDocs(incoming, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L))
+  }
+
   test("bloom sketch: zero false negatives, bounded false-positive rate") {
     val members = (0L until 5000L).map(i => i * 2654435761L).toDF("fp")
     val bloom = BloomDedup.bloomBytes(members, col("fp"),

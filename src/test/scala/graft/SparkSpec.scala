@@ -11,6 +11,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // managed tables (bucketed-join fixtures) land on scratch, not the repo
+    // cwd's spark-warehouse/ (same placement as the bench session)
+    .config("spark.sql.warehouse.dir",
+      s"${graft.util.Env.scratchDir}/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
