@@ -509,6 +509,17 @@ object SparkEntry {
             .cast("bigint").as("p50_milli"),
           floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
             .cast("bigint").as("p95_milli"))),
+    // Z-order (Morton) key: the multi-dimension data-skipping sort key —
+    // bit-spread via shiftleft/bitwiseAND built-ins, engine-exact integer
+    // arithmetic (graft.layout.ZOrder; the layout effect is measured in
+    // ZOrderSpec, the key itself oracled here)
+    "q_zorder" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          (expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 65536).as("xa"),
+          (col("user_id") % 65536).as("xb"))
+      e.select(col("event_id"), graft.layout.ZOrder.zorder2(col("xa"), col("xb")))
+    }),
     // cohort retention matrix: window cohort anchor + distinct-count per
     // (cohort, offset) — the retention-curve backbone (graft.agg.Retention)
     "q_retention" -> ((s, dir) => {
@@ -1276,6 +1287,25 @@ object SparkEntry {
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
          GROUP BY 1, 2""",
+    "q_zorder" ->
+      """WITH b AS (
+           SELECT event_id,
+             (epoch_us(ts) // 3600000000) % 65536 AS xa,
+             user_id % 65536 AS xb
+           FROM events),
+         s1 AS (SELECT event_id,
+           (xa | (xa << 8)) & 16711935 AS xa,
+           (xb | (xb << 8)) & 16711935 AS xb FROM b),
+         s2 AS (SELECT event_id,
+           (xa | (xa << 4)) & 252645135 AS xa,
+           (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+         s3 AS (SELECT event_id,
+           (xa | (xa << 2)) & 858993459 AS xa,
+           (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+         s4 AS (SELECT event_id,
+           (xa | (xa << 1)) & 1431655765 AS xa,
+           (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
+         SELECT event_id, (xa << 1) | xb AS zorder2 FROM s4""",
     "q_retention" ->
       """WITH b AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -1,0 +1,53 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the multi-dimension data-skipping layout.
+  *
+  * Sorting by a single column makes that column's per-file min/max ranges
+  * tight and every OTHER column's span the whole domain, so predicates on
+  * the second dimension prune nothing. Interleaving the bits of both
+  * dimensions into one sort key keeps EVERY dimension's per-file bounding
+  * box small (each file covers a square-ish region of the value space), so
+  * parquet row-group / file statistics prune scans for predicates on either
+  * column — the lakehouse OPTIMIZE ZORDER BY story. At 100 TB this is the
+  * difference between "point query on user touches every file" and "touches
+  * O(√files)".
+  *
+  * The interleave is the classic bit-spread by magic masks, composed from
+  * `shiftleft`/`bitwiseAND` built-ins — whole-stage-codegen'd, and the same
+  * five-step arithmetic is plain SQL in any engine (the DuckDB oracle for
+  * `q_zorder` runs it with `<<`/`&`), so the key is engine-exact. */
+object ZOrder {
+
+  /** Bits of `x` (low 16 taken) spread to even positions of a 32-bit word. */
+  private def spread16(x: Column): Column = {
+    val masks = Seq(
+      (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    masks.foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (acc, (shift, mask)) =>
+      (acc.bitwiseOR(shiftleft(acc, shift))).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Morton code of two 16-bit dimensions: `a`'s bits at odd positions,
+    * `b`'s at even — bigint in [0, 2^32). Values outside [0, 65535] are
+    * masked to their low 16 bits; normalize/bucket wider domains first
+    * (rank, percentile bucket, or `value % 65536`). */
+  def zorder2(a: Column, b: Column): Column =
+    shiftleft(spread16(a), 1).bitwiseOR(spread16(b)).as("zorder2")
+
+  /** Rewrite `df` into `nFiles` files clustered by the z-value of the two
+    * dimension columns: range-partition + sort by z, one file per range —
+    * each output file covers a compact rectangle of (dimA, dimB) space.
+    * `ZOrderSpec` measures the effect: per-file spans of BOTH dimensions
+    * shrink to ~domain/√nFiles, where a plain sort leaves dimB at full
+    * domain width in every file. */
+  def writeZOrdered(df: DataFrame, dimA: Column, dimB: Column,
+      path: String, nFiles: Int = 16): Unit =
+    df.withColumn("__z", zorder2(dimA, dimB))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -315,6 +315,38 @@ final class Manifest(root: String) {
       s""""row_count":$rows,"bytes":$bytes,"convs":$convs,""" +
       s""""committed_ts":"${java.time.Instant.now()}"}"""
 
+  /** Snapshot-isolation (time-travel) read over a STREAMING sink: only the
+    * batch directories whose stream-commit audit record has
+    * `snapshot_id <= snapshotId` — "the table as of snapshot N". Gives
+    * repeatable reads while the stream keeps appending (pin
+    * [[currentSnapshotId]] once, read the same data forever after) and
+    * point-in-time debugging, the lakehouse table-version read. Batch
+    * (overwrite-per-run) sinks have no version chain — their history is the
+    * run id — so this is streaming-only by design. Returns an empty
+    * zero-column frame when no batch qualifies. */
+  def streamSinkAsOf(spark: SparkSession, sink: String, snapshotId: Long): DataFrame = {
+    if (!Files.isDirectory(snapshotDir)) return spark.emptyDataFrame
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val batchIds = graft.util.Fs.listDir(snapshotDir)
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .flatMap { p =>
+        try {
+          val n = om.readTree(Files.readString(p))
+          if (n.hasNonNull("op") && n.get("op").asText == "stream_commit" &&
+            n.hasNonNull("sink") && n.get("sink").asText == sink &&
+            n.get("snapshot_id").asLong <= snapshotId)
+            Some(n.get("run_id").asText.stripPrefix("stream-batch-").toLong)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.distinct.sorted
+    val paths = batchIds
+      .map(b => Paths.get(sinkPath(sink), s"batch=$b"))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Sinks with at least one committed streaming batch. */
   def streamCommittedSinks(): Set[String] = {
     val base = Paths.get(root, "sinks")

@@ -273,6 +273,29 @@ class ManifestSpec extends SparkSpec {
       java.net.http.HttpResponse.BodyHandlers.ofString()).body()
   }
 
+  test("stream time travel: streamSinkAsOf pins a snapshot while batches keep landing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-tt").toString
+    val m = new Manifest(out)
+    def batch(ids: Seq[Int]) = ids
+      .map(i => (s"conv-0000$i", i, "user", s"text $i", "t", new java.sql.Timestamp(i * 1000L), "s1"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    m.commitStreamBatch(batch(Seq(1, 2)), 0L)
+    val snapAfterB0 = m.currentSnapshotId()
+    m.commitStreamBatch(batch(Seq(3)), 1L)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      if (df.columns.isEmpty) Set.empty
+      else df.select("turn_idx").collect().map(_.getInt(0)).toSet
+    // pinned snapshot: repeatable read sees only batch 0 even after batch 1 landed
+    assert(ids(m.streamSinkAsOf(spark, "s1", snapAfterB0)) === Set(1, 2))
+    // current snapshot sees everything; snapshot 0 predates every commit
+    assert(ids(m.streamSinkAsOf(spark, "s1", m.currentSnapshotId())) === Set(1, 2, 3))
+    assert(ids(m.streamSinkAsOf(spark, "s1", 0L)) === Set.empty)
+    // unknown sink: empty, not an error
+    assert(ids(m.streamSinkAsOf(spark, "nope", Long.MaxValue)) === Set.empty)
+  }
+
   test("snapshot commit log: concurrent commits linearize, records never rewritten") {
     val out = Files.createTempDirectory("graft-snap").toString
     val m = new Manifest(out)
