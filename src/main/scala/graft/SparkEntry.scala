@@ -509,6 +509,21 @@ object SparkEntry {
             .cast("bigint").as("p50_milli"),
           floor(percentile_approx(col("value"), lit(0.95), lit(10000)) * 1000)
             .cast("bigint").as("p95_milli"))),
+    // one-pass table profile: the ingestion-QA stats block (row/distinct
+    // counts, ranges, null tallies) every pipeline runs before trusting a
+    // drop — one aggregate, no second scan per stat
+    "q_profile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"),
+        floor(min(col("o_totalprice")) * 100).cast("bigint").as("min_price_cents"),
+        floor(max(col("o_totalprice")) * 100).cast("bigint").as("max_price_cents"),
+        count(when(col("o_orderpriority").isNull, 1)).as("null_priorities"),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("min_date_us"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_date_us"))),
     // Z-order (Morton) key: the multi-dimension data-skipping sort key —
     // bit-spread via shiftleft/bitwiseAND built-ins, engine-exact integer
     // arithmetic (graft.layout.ZOrder; the layout effect is measured in
@@ -1287,6 +1302,18 @@ object SparkEntry {
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
          GROUP BY 1, 2""",
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_custkeys,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           min(o_orderkey) AS min_okey,
+           max(o_orderkey) AS max_okey,
+           cast(floor(min(o_totalprice) * 100) AS bigint) AS min_price_cents,
+           cast(floor(max(o_totalprice) * 100) AS bigint) AS max_price_cents,
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS null_priorities,
+           min(epoch_us(o_orderdate)) AS min_date_us,
+           max(epoch_us(o_orderdate)) AS max_date_us
+         FROM orders""",
     "q_zorder" ->
       """WITH b AS (
            SELECT event_id,

@@ -84,6 +84,51 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming MERGE sink: versioned snapshots, kill/restart parity, replay idempotence, time travel") {
+    import graft.cdc.CdcStream
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcs")
+    val srcDir = base.resolve("src").toString
+    val root = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    // two changelog files = two micro-batches at maxFilesPerTrigger=1; the
+    // single part file of each write is lifted into srcDir with a forced
+    // mtime so the file source orders them deterministically
+    val b0 = Seq((1L, "a", 100L, "I", 1L), (2L, "b", 200L, "I", 2L))
+    val b1 = Seq((1L, "a2", 110L, "U", 1L), (2L, "b", 0L, "D", 2L), (3L, "c", 300L, "I", 3L))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = base.resolve(s"w$i").toString
+      rows.toDF("id", "status", "cents", "op", "seq").coalesce(1).write.parquet(tmp)
+      val part = graft.util.Fs.listDir(java.nio.file.Paths.get(tmp))
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$srcDir/b0.parquet").schema
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = CdcStream.writer(stream, root, ckpt, Seq("id"), "seq", "op").start()
+      q.awaitTermination()
+    }
+    drain()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val after = rows(CdcStream.latest(spark, root).get)
+    assert(after === Set((1L, "a2", 110L), (3L, "c", 300L)))
+    // time travel to the first version: both inserts, no later changes
+    assert(rows(CdcStream.version(spark, root, 0L)) === Set((1L, "a", 100L), (2L, "b", 200L)))
+    // restart on the same checkpoint: nothing new to do, state unchanged
+    drain()
+    assert(rows(CdcStream.latest(spark, root).get) === after)
+    // direct replay of a committed batch id: short-circuits, state unchanged
+    CdcStream.applyBatch(root, Seq("id"), "seq", "op")(
+      b1.toDF("id", "status", "cents", "op", "seq"), 1L)
+    assert(rows(CdcStream.latest(spark, root).get) === after)
+  }
+
   test("plan: winner selection pushes a group limit below the shuffle; supersede is an anti-join") {
     val q = SparkEntry.queries("q_cdc_upsert")(spark, "/root/testdata/sf0.001")
     graft.tools.PlanPin.withStaticPlans(spark) {
