@@ -21,9 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Ordering semantics: batch arrival order is the outer order; `seqCol`
   * orders WITHIN a batch (the contract of every changelog consumer whose
-  * upstream assigns batches monotonically). Old versions are retained —
-  * at production scale a retention sweep prunes `v=<id>` dirs past the
-  * time-travel horizon, exactly like lakehouse VACUUM. */
+  * upstream assigns batches monotonically). Old versions are retained
+  * until [[vacuum]] prunes them past the time-travel horizon. */
 object CdcStream {
 
   private def versionDirs(root: String): Seq[(Long, Path)] = {
@@ -59,6 +58,19 @@ object CdcStream {
     val tmp = Paths.get(root, s"_tmp-v$batchId")
     next.write.mode("overwrite").parquet(tmp.toString)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Retention sweep (the lakehouse VACUUM): delete all but the newest
+    * `keepLast` committed versions, returning the ids removed. The latest
+    * version is never deleted. Standard VACUUM contract: `keepLast` must
+    * exceed every reader's time-travel horizon — a reader pinned past the
+    * horizon fails fast on the missing directory rather than seeing partial
+    * data. Temp dirs of in-flight writes (`_tmp-v*`) are untouched. */
+  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast out of range: $keepLast")
+    val drop = versionDirs(root).dropRight(keepLast)
+    drop.foreach { case (_, p) => graft.util.Fs.deleteRecursively(p) }
+    drop.map(_._1)
   }
 
   /** Streaming writer: changelog stream → versioned snapshot table. */

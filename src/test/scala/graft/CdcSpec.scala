@@ -127,6 +127,11 @@ class CdcSpec extends SparkSpec {
     CdcStream.applyBatch(root, Seq("id"), "seq", "op")(
       b1.toDF("id", "status", "cents", "op", "seq"), 1L)
     assert(rows(CdcStream.latest(spark, root).get) === after)
+    // vacuum: drops the oldest version, keeps (and never touches) the latest
+    assert(CdcStream.vacuum(root, keepLast = 1) === Seq(0L))
+    assert(rows(CdcStream.latest(spark, root).get) === after)
+    intercept[Exception] { CdcStream.version(spark, root, 0L).collect() }
+    assert(CdcStream.vacuum(root, keepLast = 1) === Seq.empty)
   }
 
   test("plan: winner selection pushes a group limit below the shuffle; supersede is an anti-join") {
