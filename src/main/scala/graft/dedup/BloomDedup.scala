@@ -33,7 +33,7 @@ object BloomDedup {
     val agg = new BloomFilterAggregate(Bridge.expression(fp),
       Literal(expectedItems), Literal(numBits), 0, 0)
     corpus.agg(Bridge.column(agg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** `might_contain` over a pre-built sketch — codegen'd, usable as a plain

@@ -35,7 +35,7 @@ object Pq {
 
   def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L): Model = {
-    val d = corpus.select(size(col("embedding"))).head.getInt(0)
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"m=$m must divide dim=$d")
     require(ksub <= 256, "one byte per subspace code")
     val sub = d / m
@@ -82,7 +82,7 @@ object Pq {
       element_at(
         map_from_arrays(
           lit((0 until mm.ksub).toArray),
-          array(mm.codebooks(i).map(cb => lit(cb.map(_.toFloat))): _*)),
+          array(mm.codebooks(i).toIndexedSeq.map(cb => lit(cb.map(_.toFloat))): _*)),
         ci)
     }: _*))
 

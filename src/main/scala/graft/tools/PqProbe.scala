@@ -18,7 +18,7 @@ object PqProbe {
     val codes = Pq.encode(emb, m)
     val rc = emb.join(codes, "vec_id")
       .select(avg(Ann.cosine(col("embedding"), Pq.decodeExpr(m, col("code")))).as("avg_recon"))
-      .head.getDouble(0)
+      .head().getDouble(0)
     println(f"AVG_RECON=$rc%.4f")
     val exact = Ann.bruteForceTopK(queries, emb, 5).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
