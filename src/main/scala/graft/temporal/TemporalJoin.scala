@@ -47,24 +47,32 @@ object TemporalJoin {
     * on equal `keys` (null when no build row qualifies). A build row AT the
     * probe timestamp matches ("at or before"). If several build rows share
     * (key, ts), which one wins is unspecified — keep build timestamps
-    * unique per key. Filter the result on a build column IS NOT NULL for
-    * inner-as-of semantics. */
+    * unique per key. `maxStaleness` (same unit as the timestamps) bounds
+    * the lookback — a match older than `probeTs - maxStaleness` enriches
+    * as null, the kdb `aj` window / temporal-join TTL semantics. Filter the
+    * result on a build column IS NOT NULL for inner-as-of semantics. */
   def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      probeTs: String, buildTs: String): DataFrame = {
+      probeTs: String, buildTs: String,
+      maxStaleness: Option[Long] = None): DataFrame = {
     val probeOnly = probe.columns.filterNot(keys.contains).toSeq
     val (vals, snap) = snapStruct(build, keys, buildTs)
-    val snapType = StructType(vals.map(build.schema(_)))
+    // the matched snapshot's own timestamp rides inside the carried struct
+    // so the staleness bound can be applied after the running last()
+    val carried = struct(col(buildTs).as("__bts"), snap.as("__v"))
+    val carriedType = StructType(Seq(
+      build.schema(buildTs).copy(name = "__bts"),
+      org.apache.spark.sql.types.StructField("__v", StructType(vals.map(build.schema(_))))))
 
     val p = probe.select(
       keys.map(col) ++
         Seq(col(probeTs).as("__ts"), lit(1).as("__side")) ++
         probeOnly.map(col) :+
-        lit(null).cast(snapType).as("__snap"): _*)
+        lit(null).cast(carriedType).as("__snap"): _*)
     val b = build.select(
       keys.map(col) ++
         Seq(col(buildTs).as("__ts"), lit(0).as("__side")) ++
         probeOnly.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
-        snap.as("__snap"): _*)
+        carried.as("__snap"): _*)
 
     // build rows sort before probe rows at equal __ts (side 0 < 1), so a
     // snapshot taken exactly at the probe instant is visible to it
@@ -72,10 +80,15 @@ object TemporalJoin {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val fresh = maxStaleness
+      .map(s => col("__snap.__bts") >= col("__ts") - s)
+      .getOrElse(lit(true))
     p.unionByName(b)
       .withColumn("__snap", last(col("__snap"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(probe.columns.map(col).toSeq ++ vals.map(v => col(s"__snap.$v").as(v)): _*)
+      .withColumn("__snap", when(fresh, col("__snap")))
+      .select(probe.columns.map(col).toSeq ++
+        vals.map(v => col(s"__snap.__v.$v").as(v)): _*)
   }
 
   /** [[asofJoin]] semantics with a BROADCAST build side: build collapses to
@@ -86,7 +99,8 @@ object TemporalJoin {
     * config/dimension history that fits an executor — the probe side never
     * shuffles. */
   def asofJoinBroadcast(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      probeTs: String, buildTs: String): DataFrame = {
+      probeTs: String, buildTs: String,
+      maxStaleness: Option[Long] = None): DataFrame = {
     val (vals, snap) = snapStruct(build, keys, buildTs)
     val perKey = build
       .groupBy(keys.map(col): _*)
@@ -103,8 +117,15 @@ object TemporalJoin {
       // always-nullable path; the index is valid-or-null, so semantics are
       // unchanged. Regression-tested in TemporalJoinSpec ("inner-as-of
       // filter...").
-      .withColumn("__v",
-        try_element_at(col("__snaps.v"), asof_index(col("__snaps.ts"), col(probeTs))))
+      .withColumn("__i", asof_index(col("__snaps.ts"), col(probeTs)))
+      // staleness bound: the matched snapshot's own timestamp (parallel
+      // array, same index) must be within the lookback window
+      .withColumn("__i", maxStaleness match {
+        case Some(s) => when(
+          try_element_at(col("__snaps.ts"), col("__i")) >= col(probeTs) - s, col("__i"))
+        case None => col("__i")
+      })
+      .withColumn("__v", try_element_at(col("__snaps.v"), col("__i")))
       .select(probe.columns.map(col).toSeq ++ vals.map(v => col(s"__v.$v").as(v)): _*)
   }
 

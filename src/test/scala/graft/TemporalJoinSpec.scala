@@ -63,6 +63,21 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === asofExpected.collect { case (k, Some(v)) => k -> v })
   }
 
+  test("as-of staleness bound: matches older than the window enrich as null (both forms)") {
+    // probe row_id 3 = ("a", 200); latest snapshot a@180 → gap 20
+    def versionAt(ms: Option[Long]): Seq[Option[Long]] = Seq(
+      TemporalJoin.asofJoin(probe, build, Seq("k"), "ts", "snap_ts", ms),
+      TemporalJoin.asofJoinBroadcast(probe, build, Seq("k"), "ts", "snap_ts", ms))
+      .map { df =>
+        val r = df.filter(col("row_id") === 3L).select("version").head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    assert(versionAt(Some(30L)) === Seq(Some(18L), Some(18L))) // 20 <= 30: fresh
+    assert(versionAt(Some(20L)) === Seq(Some(18L), Some(18L))) // boundary inclusive
+    assert(versionAt(Some(10L)) === Seq(None, None))           // 20 > 10: stale
+    assert(versionAt(None) === Seq(Some(18L), Some(18L)))      // unbounded default
+  }
+
   test("as-of implementations agree on real data (events vs derived snapshots)") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("e_us"))
