@@ -14,6 +14,11 @@ import graft.parse.GrokExtract
   *   SELECT grok_extract(text, '<pattern>').level FROM turns
   *   SELECT simhash64(split(text, ' ')) FROM documents
   *
+  * and the whole-relation operators as TABLE functions
+  * ([[GraftTableFunctions]] — same Scala code path, reachable from SQL text):
+  *
+  *   SELECT * FROM asof_join('probe_v', 'build_v', 'k', 'ts', 'snap_ts')
+  *
   * (Extension-injection pattern per the Spark API docs; no planner rules are
   * needed — SURVEY.md §4.1 — so only function registration is injected.)
   */
@@ -25,6 +30,10 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     ext.functions.foreach { case (ident, info, builder) =>
       reg.registerFunction(ident, info, builder)
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    GraftTableFunctions.functions.foreach { case (ident, info, builder) =>
+      treg.registerFunction(ident, info, builder)
     }
   }
 }
@@ -73,6 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[NormalizeNfc].getName, "nfc_normalize"),
       (args: Seq[Expression]) => NormalizeNfc(args.head)))
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach(e.injectFunction)
+    GraftTableFunctions.functions.foreach(e.injectTableFunction)
+  }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
+
+import graft.agg.TopK
+import graft.cdc.Cdc
+import graft.temporal.TemporalJoin
+
+/** The engine's whole-relation operators as SQL TABLE functions — the
+  * `FROM asof_join(...)` surface for users who live in SQL text rather than
+  * the Column API (the reference's users configure pipelines in YAML and
+  * query in SQL; a Scala-only operator library would be invisible to them).
+  *
+  * Each function takes VIEW NAMES (temp views or catalog tables) plus literal
+  * options, resolves the views against the calling session, builds the exact
+  * same DataFrame the Scala API builds, and hands its logical plan back to
+  * the analyzer — so the SQL form and the Column form are one code path, one
+  * plan shape, one set of plan-pinned guarantees:
+  *
+  *   SELECT * FROM asof_join('probe_v', 'build_v', 'k1,k2', 'ts', 'snap_ts')
+  *   SELECT * FROM range_join('pts_v', 'iv_v', 'k', 'ts', 's', 'e', 3600000000)
+  *   SELECT * FROM overlap_join('l_v', 'r_v', 'k', 'ls', 'le', 'rs', 're', 3600000000)
+  *   SELECT * FROM top_k('orders_v', 'segment', 'price_cents DESC, o_orderkey', 3, 'rnk')
+  *   SELECT * FROM apply_changelog('snap_v', 'changes_v', 'k', 'seq', 'op')
+  *
+  * Registered by [[GraftExtensions]] (builder-time `spark.sql.extensions`
+  * conf) or [[GraftExtensions.register]] (already-built sessions). Injection
+  * uses the public `SparkSessionExtensions.injectTableFunction` hook — no
+  * parser changes, no internals.
+  */
+object GraftTableFunctions {
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$name must be a string literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+  private def optLongArg(args: Seq[Expression], i: Int, name: String): Option[Long] =
+    if (args.length > i) Some(longArg(args(i), name)) else None
+
+  /** The session running the query whose analysis invoked the builder. */
+  private def session: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "graft table functions need an active SparkSession"))
+
+  private def view(name: String): DataFrame = session.table(name)
+
+  private def keys(csv: String): Seq[String] =
+    csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** `"price DESC, id"` → order columns (the only mini-parse in the layer;
+    * bare column name = ascending, trailing ASC/DESC keyword honored). */
+  private def orderCols(spec: String): Seq[org.apache.spark.sql.Column] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val ws = part.split("\\s+")
+      ws.map(_.toUpperCase).toSeq match {
+        case Seq(_)         => col(ws(0))
+        case Seq(_, "ASC")  => col(ws(0)).asc
+        case Seq(_, "DESC") => col(ws(0)).desc
+        case _ => throw new IllegalArgumentException(
+          s"order spec entry must be `col [ASC|DESC]`, got: $part")
+      }
+    }
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def fn(name: String)(builder: Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+      builder)
+
+  /** (identifier, info, builder) triples for
+    * `SparkSessionExtensions.injectTableFunction` /
+    * `TableFunctionRegistry.registerFunction`. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    // asof_join(probe, build, keys, probeTs, buildTs [, maxStaleness])
+    fn("asof_join") { args =>
+      plan(TemporalJoin.asofJoin(
+        view(strArg(args(0), "probe")), view(strArg(args(1), "build")),
+        keys(strArg(args(2), "keys")),
+        strArg(args(3), "probeTs"), strArg(args(4), "buildTs"),
+        optLongArg(args, 5, "maxStaleness")))
+    },
+    // asof_join_broadcast(probe, build, keys, probeTs, buildTs [, maxStaleness])
+    fn("asof_join_broadcast") { args =>
+      plan(TemporalJoin.asofJoinBroadcast(
+        view(strArg(args(0), "probe")), view(strArg(args(1), "build")),
+        keys(strArg(args(2), "keys")),
+        strArg(args(3), "probeTs"), strArg(args(4), "buildTs"),
+        optLongArg(args, 5, "maxStaleness")))
+    },
+    // range_join(points, intervals, keys, pointTs, startTs, endTs, bucketWidth
+    //            [, maxBucketsPerInterval])
+    fn("range_join") { args =>
+      plan(TemporalJoin.rangeJoin(
+        view(strArg(args(0), "points")), view(strArg(args(1), "intervals")),
+        keys(strArg(args(2), "keys")), strArg(args(3), "pointTs"),
+        strArg(args(4), "startTs"), strArg(args(5), "endTs"),
+        longArg(args(6), "bucketWidth"),
+        optLongArg(args, 7, "maxBucketsPerInterval").getOrElse(4096L)))
+    },
+    // overlap_join(left, right, keys, lStart, lEnd, rStart, rEnd, bucketWidth
+    //              [, maxBucketsPerInterval])
+    fn("overlap_join") { args =>
+      plan(TemporalJoin.overlapJoin(
+        view(strArg(args(0), "left")), view(strArg(args(1), "right")),
+        keys(strArg(args(2), "keys")),
+        strArg(args(3), "lStart"), strArg(args(4), "lEnd"),
+        strArg(args(5), "rStart"), strArg(args(6), "rEnd"),
+        longArg(args(7), "bucketWidth"),
+        optLongArg(args, 8, "maxBucketsPerInterval").getOrElse(4096L)))
+    },
+    // top_k(view, partitionCols, orderSpec, k [, rankName])
+    fn("top_k") { args =>
+      plan(TopK.perGroup(
+        view(strArg(args(0), "view")),
+        keys(strArg(args(1), "partitionCols")).map(col),
+        orderCols(strArg(args(2), "orderSpec")),
+        longArg(args(3), "k").toInt,
+        if (args.length > 4) strArg(args(4), "rankName") else "rank"))
+    },
+    // apply_changelog(snapshot, changelog, keys, seqCol, opCol)
+    fn("apply_changelog") { args =>
+      plan(Cdc.applyChangelog(
+        view(strArg(args(0), "snapshot")), view(strArg(args(1), "changelog")),
+        keys(strArg(args(2), "keys")),
+        strArg(args(3), "seqCol"), strArg(args(4), "opCol")))
+    })
+}

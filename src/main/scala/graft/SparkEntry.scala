@@ -70,7 +70,9 @@ object SparkEntry {
   /** Deterministic changelog over the snapshot: price bumps on every 7th
     * key (seq 1), deletes on every 11th (seq 2 — outranks the %77 overlap's
     * update), inserts on every 13th under key+1e8 (disjoint key space, so
-    * (key, seq) is unique and the winner is order-independent). */
+    * (key, seq) is unique and the winner is order-independent). Generic over
+    * the snapshot's remaining columns — extra measures ride along unchanged
+    * (q_incr_agg_multi's `units`). */
   private def cdcChangelog(snap: DataFrame): DataFrame = {
     val updates = snap.filter(col("o_orderkey") % 7 === 0)
       .withColumn("price_cents", col("price_cents") + 1000L)
@@ -78,9 +80,9 @@ object SparkEntry {
     val deletes = snap.filter(col("o_orderkey") % 11 === 0)
       .withColumn("op", lit("D")).withColumn("seq", lit(2L))
     val inserts = snap.filter(col("o_orderkey") % 13 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-        lit("N").as("o_orderstatus"), col("price_cents"),
-        lit("I").as("op"), lit(1L).as("seq"))
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L))
     updates.unionByName(deletes).unionByName(inserts)
   }
 
@@ -463,6 +465,21 @@ object SparkEntry {
         .filter(col("version").isNotNull) // inner-as-of: drop pre-first-snapshot events
         .groupBy(col("event_type"), col("version"))
         .agg(count(lit(1)).as("n_events"))),
+    // the SAME as-of join routed through SQL TEXT: the operator library's
+    // table-function surface (GraftTableFunctions via GraftExtensions) —
+    // `FROM asof_join_broadcast(...)` resolves the registered views and
+    // hands back the identical plan the Column API builds; oracle is the
+    // same DuckDB native ASOF JOIN
+    "q_asof_sql" -> ((s, dir) => {
+      GraftExtensions.register(s) // idempotent re-registration
+      eventsUs(s, dir).createOrReplaceTempView("graft_events_us")
+      configSnaps(s, dir).createOrReplaceTempView("graft_config_snaps")
+      s.sql("""SELECT event_type, version, count(*) AS n_events
+               FROM asof_join_broadcast('graft_events_us', 'graft_config_snaps',
+                                        'event_type', 'e_us', 'snap_us')
+               WHERE version IS NOT NULL
+               GROUP BY event_type, version""")
+    }),
     // binned range join: points⋈intervals containment without an inequality
     // join — intervals explode to 1h buckets, equi-join on (type, bucket),
     // exact filter after (plan has zero nested-loop/cartesian joins)
@@ -477,6 +494,24 @@ object SparkEntry {
         .groupBy(col("event_type"), col("version"))
         .agg(count(lit(1)).as("n_in_window"),
           countDistinct(col("user_id")).as("n_users"))),
+    // interval⋈interval overlap join (session⋈outage shape): per-user
+    // activity spans against config windows — both sides binned to 6 h
+    // buckets, equi-join + exact overlap filter, each overlapping pair
+    // emitted exactly once via the first-overlap-bucket trick (no dedup
+    // pass, no nested-loop join; DuckDB inequality join is the oracle)
+    "q_overlap_sessions" -> ((s, dir) => {
+      val spans = eventsUs(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("e_us")).as("span_start"), max(col("e_us")).as("span_end"))
+      val wins = configSnaps(s, dir).select(col("event_type"), col("version"),
+        col("snap_us").as("w_start"), (col("snap_us") + WindowLenUs).as("w_end"))
+      TemporalJoin.overlapJoin(spans, wins, Seq("event_type"),
+          lStart = "span_start", lEnd = "span_end",
+          rStart = "w_start", rEnd = "w_end", bucketWidth = SnapBucketUs)
+        .groupBy(col("event_type"), col("version"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(least(col("span_end"), col("w_end")) -
+            greatest(col("span_start"), col("w_start"))).as("overlap_us"))
+    }),
     // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
     // WindowGroupLimit-bounded rank, one anti-join + union — the nightly
     // snapshot-maintenance job (graft.cdc.Cdc); changelog derived
@@ -561,6 +596,23 @@ object SparkEntry {
         keys = Seq("o_orderkey"), groupCol = "o_orderstatus",
         valueCol = "price_cents", seqCol = "seq", opCol = "op",
         cntName = "n_orders", sumName = "revenue_cents")
+    }),
+    // multi-measure incremental maintenance: count + TWO sums kept in the
+    // same single broadcast-probe pass, avg DERIVED from the maintained
+    // (count, sum) pair in the projection — the oracle recomputes everything
+    // from scratch, so equality proves counts, both sums and the derived avg
+    "q_incr_agg_multi" -> ((s, dir) => {
+      val snap = cdcSnapshot(s, dir).withColumn("units", col("o_orderkey") % 100)
+      val oldAgg = snap.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("revenue_cents"),
+          sum(col("units")).as("total_units"))
+      graft.cdc.Cdc.maintainAggs(oldAgg, snap, cdcChangelog(snap),
+          keys = Seq("o_orderkey"), groupCol = "o_orderstatus",
+          measures = Seq("price_cents" -> "revenue_cents", "units" -> "total_units"),
+          seqCol = "seq", opCol = "op", cntName = "n_orders")
+        .withColumn("avg_price_milli",
+          expr("cast(revenue_cents * 1000 div n_orders as bigint)"))
     }),
     // ordered-funnel analysis (graft.agg.Funnel): per (user, day), furthest
     // stage of view→click→purchase in event order — N chained running-min
@@ -1286,6 +1338,20 @@ object SparkEntry {
          FROM b ASOF JOIN s
            ON b.event_type = s.event_type AND b.e_us >= s.snap_us
          GROUP BY 1, 2""",
+    // identical semantics to q_asof_config — the Spark side differs only in
+    // arriving via SQL text through the asof_join_broadcast table function
+    "q_asof_sql" ->
+      """WITH b AS (
+           SELECT event_type, user_id, epoch_us(ts) AS e_us,
+             epoch_us(ts) // 21600000000 AS bkt
+           FROM events),
+         s AS (
+           SELECT DISTINCT event_type, bkt AS version, bkt * 21600000000 AS snap_us
+           FROM b WHERE bkt % 4 = strlen(event_type) % 4)
+         SELECT b.event_type, s.version, count(*) AS n_events
+         FROM b ASOF JOIN s
+           ON b.event_type = s.event_type AND b.e_us >= s.snap_us
+         GROUP BY 1, 2""",
     "q_range_windows" ->
       """WITH b AS (
            SELECT event_type, user_id, epoch_us(ts) AS e_us,
@@ -1301,6 +1367,27 @@ object SparkEntry {
            count(DISTINCT b.user_id) AS n_users
          FROM b JOIN w ON b.event_type = w.event_type
            AND b.e_us BETWEEN w.w_start AND w.w_end
+         GROUP BY 1, 2""",
+    "q_overlap_sessions" ->
+      """WITH b AS (
+           SELECT event_type, user_id, epoch_us(ts) AS e_us,
+             epoch_us(ts) // 21600000000 AS bkt
+           FROM events),
+         s AS (
+           SELECT DISTINCT event_type, bkt AS version, bkt * 21600000000 AS snap_us
+           FROM b WHERE bkt % 4 = strlen(event_type) % 4),
+         w AS (
+           SELECT event_type, version, snap_us AS w_start,
+             snap_us + 5400000000 AS w_end FROM s),
+         sp AS (
+           SELECT event_type, user_id, min(e_us) AS span_start,
+             max(e_us) AS span_end
+           FROM b GROUP BY 1, 2)
+         SELECT sp.event_type, w.version, count(*) AS n_spans,
+           cast(sum(least(sp.span_end, w.w_end) -
+                    greatest(sp.span_start, w.w_start)) AS bigint) AS overlap_us
+         FROM sp JOIN w ON sp.event_type = w.event_type
+           AND sp.span_start <= w.w_end AND w.w_start <= sp.span_end
          GROUP BY 1, 2""",
     "q_profile" ->
       """SELECT count(*) AS n_rows,
@@ -1383,6 +1470,39 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n_orders,
            cast(sum(price_cents) AS bigint) AS revenue_cents
          FROM merged GROUP BY 1""",
+    // from-scratch recompute of count + both sums + derived avg — equality
+    // with the incremental path proves multi-measure maintenance
+    "q_incr_agg_multi" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_orderstatus,
+             cast(floor(o_totalprice * 100) AS bigint) AS price_cents,
+             o_orderkey % 100 AS units
+           FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, price_cents + 1000 AS price_cents,
+             units, 'U' AS op, 1 AS seq FROM snap WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents, units, 'D', 2
+           FROM snap WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 'N', price_cents, units, 'I', 1
+           FROM snap WHERE o_orderkey % 13 = 0),
+         win AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         merged AS (
+           SELECT s.o_orderkey, s.o_orderstatus, s.price_cents, s.units FROM snap s
+           WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents, units FROM win WHERE op <> 'D')
+         SELECT o_orderstatus, count(*) AS n_orders,
+           cast(sum(price_cents) AS bigint) AS revenue_cents,
+           cast(sum(units) AS bigint) AS total_units,
+           cast(cast(sum(price_cents) AS bigint) * 1000 // count(*) AS bigint)
+             AS avg_price_milli
+         FROM merged GROUP BY 1""",
     "q_funnel" ->
       """WITH base AS (
            SELECT user_id * 100000 + (epoch_us(ts) // 86400000000) AS ent,
@@ -1437,10 +1557,16 @@ object SparkEntry {
          JOIN px a ON a.doc_id = p.id_a
          JOIN px b ON b.doc_id = p.id_b
          WHERE levenshtein(a.pfx, b.pfx) <= 20""",
+    // NOT EXISTS, not NOT IN: NOT IN's three-valued NULL semantics diverge
+    // from the Spark side's anti-join (one NULL corpus text would empty the
+    // NOT IN result; NULL incoming texts are dropped by NOT IN but kept by
+    // BloomDedup.newDocs) — NOT EXISTS with an equality predicate is the
+    // anti-join-equivalent form regardless of nulls
     "q_bloom_incremental" ->
-      """SELECT doc_id FROM documents
-         WHERE doc_id % 3 = 0
-           AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)""",
+      """SELECT d.doc_id FROM documents d
+         WHERE d.doc_id % 3 = 0
+           AND NOT EXISTS (SELECT 1 FROM documents c
+                           WHERE c.doc_id % 3 <> 0 AND c.text = d.text)""",
     "q_cdc_upsert" ->
       """WITH snap AS (
            SELECT o_orderkey, o_orderstatus,

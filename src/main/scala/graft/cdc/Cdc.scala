@@ -69,24 +69,48 @@ object Cdc {
   def maintainCountSum(oldAgg: DataFrame, snapshot: DataFrame, changelog: DataFrame,
       keys: Seq[String], groupCol: String, valueCol: String,
       seqCol: String, opCol: String,
-      cntName: String = "n_rows", sumName: String = "total"): DataFrame = {
+      cntName: String = "n_rows", sumName: String = "total"): DataFrame =
+    maintainAggs(oldAgg, snapshot, changelog, keys, groupCol,
+      Seq(valueCol -> sumName), seqCol, opCol, cntName)
+
+  /** [[maintainCountSum]] generalized to ANY number of summed measures —
+    * count plus one sum per `(valueCol, sumName)` pair, maintained in the
+    * same single pass (the snapshot is still probed exactly once with one
+    * broadcast winner set, the deltas still aggregate delta-sized; extra
+    * measures add columns, never scans or shuffles). Averages need no
+    * maintenance of their own: avg = sum/count is DERIVABLE from the
+    * maintained pair, so derive it in the projection
+    * (`q_incr_agg_multi` does — its oracle recomputes from scratch, proving
+    * count, sums and the derived avg all at once). `oldAgg` must be the
+    * (groupCol, cntName, sumNames*) aggregate of `snapshot`. */
+  def maintainAggs(oldAgg: DataFrame, snapshot: DataFrame, changelog: DataFrame,
+      keys: Seq[String], groupCol: String, measures: Seq[(String, String)],
+      seqCol: String, opCol: String, cntName: String = "n_rows"): DataFrame = {
+    require(measures.nonEmpty, "at least one (valueCol, sumName) measure")
     val winners = changeWinners(changelog, keys, seqCol)
+    def d(i: Int) = s"__v$i"
     val minus = snapshot
       .join(broadcast(winners.select(keys.map(col): _*)), keys)
-      .select(col(groupCol).as("__g"), lit(-1L).as("__c"),
-        (-col(valueCol)).cast("long").as("__v"))
+      .select(col(groupCol).as("__g") +: lit(-1L).as("__c") +:
+        measures.zipWithIndex.map { case ((v, _), i) =>
+          (-col(v)).cast("long").as(d(i)) }: _*)
     val plus = winners.filter(col(opCol) =!= "D")
-      .select(col(groupCol).as("__g"), lit(1L).as("__c"),
-        col(valueCol).cast("long").as("__v"))
+      .select(col(groupCol).as("__g") +: lit(1L).as("__c") +:
+        measures.zipWithIndex.map { case ((v, _), i) =>
+          col(v).cast("long").as(d(i)) }: _*)
     val delta = minus.unionByName(plus)
-      .groupBy(col("__g")).agg(sum(col("__c")).as("__dc"), sum(col("__v")).as("__dv"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__dc"),
+        measures.indices.map(i => sum(col(d(i))).as(s"__d${i}")): _*)
     // null-safe <=>: with === a NULL group key never matches itself, so the
     // old row and its delta would land in two unmatched output rows
     oldAgg.join(delta, oldAgg(groupCol) <=> delta("__g"), "full_outer")
       .select(
-        coalesce(col(groupCol), col("__g")).as(groupCol),
-        (coalesce(col(cntName), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntName),
-        (coalesce(col(sumName), lit(0L)) + coalesce(col("__dv"), lit(0L))).as(sumName))
+        coalesce(col(groupCol), col("__g")).as(groupCol) +:
+          (coalesce(col(cntName), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntName) +:
+          measures.zipWithIndex.map { case ((_, sumName), i) =>
+            (coalesce(col(sumName), lit(0L)) + coalesce(col(s"__d$i"), lit(0L))).as(sumName)
+          }: _*)
       .filter(col(cntName) > 0)
   }
 }

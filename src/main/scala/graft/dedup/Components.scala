@@ -43,7 +43,8 @@ object Components {
     // lineage once per reference — for LSH-derived edges that lineage is
     // the whole decode→band→pair pipeline (measured 92 s → 9 s on the
     // media-dedup graph). The checkpointed set is (long, long) rows — tiny
-    // — and round 1's existing unpersist frees it.
+    // — tracked in `checkpointed` and freed with the per-round checkpoints
+    // when the call completes.
     var g = edges.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .union(edges.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .filter(col("u") =!= col("v"))

@@ -211,6 +211,103 @@ final class Manifest(root: String) {
     else spark.read.schema(schema).json(snapshotDir.toString)
   }
 
+  // ---- retention (the expire-snapshots half of the lakehouse contract) ----
+
+  import Manifest.Retention
+
+  private def retentionPath = snapshotDir.resolve("_retention.json")
+
+  /** Current retention state (underscore-prefixed, so it is invisible to the
+    * path-based snapshot readers and [[snapshots]]). */
+  def retention(): Retention = {
+    if (!Files.exists(retentionPath)) return Retention.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(Files.readString(retentionPath))
+    import scala.jdk.CollectionConverters._
+    val bases = Option(n.get("bases")).map { b =>
+      b.properties().asScala.map { e =>
+        e.getKey -> Retention.Base(
+          e.getValue.get("max_batch").asLong, e.getValue.get("n_batches").asLong)
+      }.toMap
+    }.getOrElse(Map.empty[String, Retention.Base])
+    Retention(n.get("horizon").asLong, bases)
+  }
+
+  /** Retention sweep over the append-only snapshot log — the batch-side
+    * analog of [[graft.cdc.CdcStream.vacuum]] (Iceberg's expireSnapshots):
+    * without it the log grows one record per commit forever. Keeps the
+    * newest `keepLast` records; older records are deleted, EXCEPT each
+    * sink's most-recent record (the provenance of live data is never lost —
+    * the same rule that makes Iceberg never expire the current snapshot).
+    *
+    * Expired stream-commit records are first COMPACTED into the per-sink
+    * base ([[Retention.Base]]): their batch directories are all older than
+    * any retained record's (per-sink batch ids and snapshot ids are both
+    * monotone), so "batch dirs with id <= maxBatch" reconstructs exactly the
+    * expired prefix — [[streamSinkAsOf]] stays exact for every servable pin.
+    * The horizon is monotone and durable, and is persisted ATOMICALLY BEFORE
+    * any record file is deleted: a crash mid-sweep leaves extra records
+    * (harmless — compaction is a union and re-expiry is idempotent), never
+    * a horizon that promises more than the log can serve.
+    *
+    * Pinned-reader contract: a [[streamSinkAsOf]] read with
+    * `snapshotId < horizon` FAILS FAST ([[IllegalStateException]]) — it can
+    * no longer be reconstructed record-by-record and partial data is never
+    * returned. Size `keepLast` above every reader's pin age, exactly the
+    * [[graft.cdc.CdcStream.vacuum]] `keepLast` contract.
+    *
+    * @return the snapshot ids expired by THIS sweep */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast out of range: $keepLast")
+    if (!Files.isDirectory(snapshotDir)) return Seq.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // (id, sink, op, batchId) per parseable record — mid-write records are
+    // skipped like every other log reader here
+    val records = graft.util.Fs.listDir(snapshotDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("snap-") && n.endsWith(".json")
+      }
+      .flatMap { p =>
+        try {
+          val n = om.readTree(Files.readString(p))
+          val batch =
+            if (n.hasNonNull("op") && n.get("op").asText == "stream_commit")
+              Some(n.get("run_id").asText.stripPrefix("stream-batch-").toLong)
+            else None
+          Some((n.get("snapshot_id").asLong,
+            if (n.hasNonNull("sink")) n.get("sink").asText else "",
+            batch, p))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    if (records.isEmpty) return Seq.empty
+    val prev = retention()
+    val head = records.map(_._1).max
+    val horizon = math.max(prev.horizon, head - keepLast + 1)
+    val latestPerSink = records.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val expire = records.filter { case (id, sink, _, _) =>
+      id < horizon && id != latestPerSink(sink)
+    }
+    val bases = expire.foldLeft(prev.bases) {
+      case (acc, (_, sink, Some(batch), _)) =>
+        val b = acc.getOrElse(sink, Retention.Base(-1L, 0L))
+        acc.updated(sink, Retention.Base(math.max(b.maxBatch, batch), b.nBatches + 1))
+      case (acc, _) => acc
+    }
+    // durable state FIRST (atomic replace), record deletes after
+    val body = s"""{"horizon":$horizon,"bases":{""" +
+      bases.toSeq.sortBy(_._1).map { case (s, b) =>
+        s""""$s":{"max_batch":${b.maxBatch},"n_batches":${b.nBatches}}"""
+      }.mkString(",") + "}}"
+    Files.createDirectories(tmpDir)
+    val tmp = tmpDir.resolve(s"_retention-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(tmp, body)
+    Files.move(tmp, retentionPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    expire.foreach { case (_, _, _, p) => Files.deleteIfExists(p) }
+    expire.map(_._1).sorted
+  }
+
   // ---- streaming micro-batch commit (exactly-once across replays) ----
 
   /** Commit one routed micro-batch into per-sink committed parquet — the
@@ -249,14 +346,28 @@ final class Manifest(root: String) {
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sink="))
     // ALL sinks' stats in ONE job over the partitioned staging root (the
     // earlier per-sink aggregates paid one driver job round-trip per sink
-    // per micro-batch — scheduling overhead dominates tiny frequent batches)
-    val stagedStats = spark.read.parquet(staging.toString)
+    // per micro-batch — scheduling overhead dominates tiny frequent batches).
+    // The staging read pins the BATCH's schema: without it the sink partition
+    // column comes back type-INFERRED from the directory names (an
+    // all-numeric sink reads as int and getString throws).
+    val stagedStats = spark.read.schema(batch.schema).parquet(staging.toString)
       .groupBy(col("sink"))
       .agg(count(lit(1)).as("rows"),
         coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
         countDistinct(col("conv_id")).as("convs"))
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sink names become partition DIRECTORY names and later sinkPath()
+    // segments, and the promote loop matches dir names back to the column
+    // values above — a null sink (__HIVE_DEFAULT_PARTITION__) or one Spark
+    // partition-escapes (space, '/', ':', '%') would break that round trip
+    // and commit a dir no reader resolves. Enforce the identifier contract
+    // up front, naming the offender, before anything is promoted.
+    stagedStats.keys.foreach { sink =>
+      require(sink != null && sink.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+        s"sink name must be a [A-Za-z0-9_.-]+ identifier, got: ${Option(sink).getOrElse("null")}")
+    }
     // replay recovery: sinks whose audit record already reached the log (a
     // crash can land between a sink's move and its append — only consulted
     // when a replay actually meets an already-promoted target)
@@ -323,11 +434,25 @@ final class Manifest(root: String) {
     * point-in-time debugging, the lakehouse table-version read. Batch
     * (overwrite-per-run) sinks have no version chain — their history is the
     * run id — so this is streaming-only by design. Returns an empty
-    * zero-column frame when no batch qualifies. */
+    * zero-column frame when no batch qualifies.
+    *
+    * Retention interaction ([[expireSnapshots]]): a pin BELOW the horizon
+    * fails fast — its record set no longer exists, and a partial answer is
+    * never returned. A servable pin reconstructs the expired prefix from the
+    * per-sink base (all `batch=` dirs with id <= base.maxBatch, verified
+    * COMPLETE against the expired-record count) plus the retained records at
+    * or below the pin; any missing batch directory fails fast the same way. */
   def streamSinkAsOf(spark: SparkSession, sink: String, snapshotId: Long): DataFrame = {
+    val ret = retention()
+    if (snapshotId < ret.horizon)
+      throw new IllegalStateException(
+        s"streamSinkAsOf($sink, $snapshotId): pin is below the retention horizon " +
+          s"${ret.horizon} — its audit records were expired by expireSnapshots and " +
+          "the read cannot be served without risking partial data; size keepLast " +
+          "above every reader's pin age")
     if (!Files.isDirectory(snapshotDir)) return spark.emptyDataFrame
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val batchIds = graft.util.Fs.listDir(snapshotDir)
+    val liveIds = graft.util.Fs.listDir(snapshotDir)
       .filter(_.getFileName.toString.startsWith("snap-"))
       .flatMap { p =>
         try {
@@ -338,11 +463,35 @@ final class Manifest(root: String) {
             Some(n.get("run_id").asText.stripPrefix("stream-batch-").toLong)
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
-      }.distinct.sorted
-    val paths = batchIds
-      .map(b => Paths.get(sinkPath(sink), s"batch=$b"))
-      .filter(Files.isDirectory(_))
-      .map(_.toString)
+      }.distinct
+    // expired prefix: every batch dir at or below the compacted base — the
+    // dirs themselves are the record of what the expired records committed
+    val base = ret.bases.get(sink)
+    val baseIds = base.map { b =>
+      val sinkDir = Paths.get(sinkPath(sink))
+      val found =
+        if (!Files.isDirectory(sinkDir)) Seq.empty[Long]
+        else graft.util.Fs.listDir(sinkDir)
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("batch=") =>
+            n.stripPrefix("batch=").toLong }
+          .filter(_ <= b.maxBatch)
+      if (found.size != b.nBatches)
+        throw new IllegalStateException(
+          s"streamSinkAsOf($sink, $snapshotId): the expired prefix should hold " +
+            s"${b.nBatches} batch dirs up to batch=${b.maxBatch} but ${found.size} " +
+            "exist — refusing to return partial data")
+      found
+    }.getOrElse(Seq.empty)
+    val batchIds = (baseIds ++ liveIds).distinct.sorted
+    val paths = batchIds.map { b =>
+      val p = Paths.get(sinkPath(sink), s"batch=$b")
+      if (!Files.isDirectory(p))
+        throw new IllegalStateException(
+          s"streamSinkAsOf($sink, $snapshotId): committed batch dir $p is missing " +
+            "— refusing to return partial data")
+      p.toString
+    }
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
   }
@@ -383,5 +532,19 @@ final class Manifest(root: String) {
       .map(s => sinkRows(spark, s).select(col("conv_id"), col("turn_idx"), col("sink")))
       .reduce(_ unionByName _)
     routed.join(done, Seq("conv_id", "turn_idx", "sink"), "left_anti")
+  }
+}
+
+object Manifest {
+  /** Durable retention state ([[Manifest.expireSnapshots]]). `horizon` is
+    * the lowest snapshot id still servable by pinned readers (0 = nothing
+    * expired); `bases` compacts the expired stream-commit records per sink —
+    * `maxBatch` the highest batch id whose audit record was expired,
+    * `nBatches` how many were (so a reader can verify the corresponding data
+    * dirs are COMPLETE, not merely present). */
+  final case class Retention(horizon: Long, bases: Map[String, Retention.Base])
+  object Retention {
+    final case class Base(maxBatch: Long, nBatches: Long)
+    val empty: Retention = Retention(0L, Map.empty)
   }
 }

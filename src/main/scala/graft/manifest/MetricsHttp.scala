@@ -23,6 +23,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   GET /runs         → JSON array of per-run metrics (live counters,
   *                       incl. per-stage scan/parse/route rows)
   *   GET /snapshots    → JSON array of the append-only snapshot commit log
+  *                       (post-sweep: expired records no longer appear)
+  *   GET /retention    → expire-snapshots state: pinned-reader horizon +
+  *                       per-sink compacted stream bases
   *   GET /metrics      → Prometheus text exposition of the same cells
   *   GET /cluster      → live executor roster + per-executor task/storage
   *                       stats from the SparkContext status tracker — the
@@ -256,7 +259,8 @@ final class MetricsHttp(root: String, port: Int,
        |<h1>graft pipeline status</h1>
        |<p>${entries.size} committed sinks · ${runs.size} recorded runs ·
        |<a href="/sinks">sinks</a> · <a href="/runs">runs</a> ·
-       |<a href="/snapshots">snapshots</a> · <a href="/metrics">metrics</a> ·
+       |<a href="/snapshots">snapshots</a> · <a href="/retention">retention</a> ·
+       |<a href="/metrics">metrics</a> ·
        |<a href="/cluster">cluster</a> · <a href="/healthz">healthz</a></p>
        |<h2>Committed sinks</h2><table border="1" cellpadding="4">
        |<tr><th>sink</th><th>rows</th><th>bytes</th><th>convs</th></tr>$sinkRows</table>
@@ -287,6 +291,13 @@ final class MetricsHttp(root: String, port: Int,
     s.createContext("/snapshots",
       handler(() => listJson(n => n.startsWith("snap-") && n.endsWith(".json"),
         dir = snapshotDir)))
+    // the expire-snapshots state: the horizon below which pinned reads fail
+    // fast, and the per-sink compacted bases (Manifest.expireSnapshots)
+    s.createContext("/retention", handler { () =>
+      val p = snapshotDir.resolve("_retention.json")
+      if (Files.exists(p)) Files.readString(p)
+      else """{"horizon":0,"bases":{}}"""
+    })
     s.createContext("/metrics",
       handler(() => prometheusBody(), contentType = "text/plain; version=0.0.4"))
     s.createContext("/cluster", paramHandler(clusterBody))

@@ -175,8 +175,6 @@ object Tpch {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val orders = s"graft_orders_bkt_$tag"
     val lineitem = s"graft_lineitem_bkt_$tag"
-    // one-file-per-bucket sort propagation (see writeBucketed)
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     synchronized {
       if (!s.catalog.tableExists(orders))
         writeBucketed(t(s, dir, "orders"), orders, "o_orderkey", buckets)
@@ -198,9 +196,20 @@ object Tpch {
     * any SF where that is sound.
     * Same result set as the unbucketed twin; the DuckDB oracle is the plain
     * SQL join. TpchSpec asserts the plan shape on this exact function. */
-  def revenueByPriorityBucketed(s: SparkSession, dir: String,
+  def revenueByPriorityBucketed(s0: SparkSession, dir: String,
       segment: String = "MACHINERY"): DataFrame = {
-    val (orders, lineitem) = ensureBucketedFacts(s, dir)
+    val (orders, lineitem) = ensureBucketedFacts(s0, dir)
+    // the legacy sort-propagation flag is sound ONLY for one-file-per-bucket
+    // tables (writeBucketed's pre-write repartition guarantees that for the
+    // tables above — nothing guarantees it for any other bucketed table a
+    // session might register). It must also be live when the RETURNED frame
+    // plans, i.e. after this function exits — so it is scoped to a CLONED
+    // session the frame stays bound to: the clone inherits the caller's conf
+    // as of now (AQE mode, thresholds) plus this one flag, shares the
+    // external catalog (the bucketed tables resolve), and the caller's
+    // session is never mutated.
+    val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // merge hint: at TEST scale the planner's size estimate would broadcast
     // a fact table — precisely the estimate that is wrong at production
     // scale, and the broadcast would throw away the co-location the ingest

@@ -1,6 +1,6 @@
 package graft.temporal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -139,17 +139,87 @@ object TemporalJoin {
     * qualifying (point, interval) pair appears exactly once: a point has one
     * bucket and an interval covers it at most once — no dedup pass.
     * Intervals with endTs < startTs produce nothing. Timestamps must be
-    * non-negative (`div` truncation = floor). */
+    * non-negative (`div` truncation = floor).
+    *
+    * `maxBucketsPerInterval` is the replication circuit-breaker: ONE
+    * pathological interval (an open-ended 9999-12-31 sentinel — a data bug,
+    * not a workload) would otherwise ask `sequence()` for millions of bucket
+    * rows and kill the task on Spark's array-length ceiling mid-job. An
+    * interval covering more buckets than the cap fails the job FAST with an
+    * error naming the offending key and bounds — in the task, before any
+    * array is materialized — so the fix (clean the row, or widen
+    * bucketWidth toward the typical interval length) is one grep away. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
-      pointTs: String, startTs: String, endTs: String, bucketWidth: Long): DataFrame = {
+      pointTs: String, startTs: String, endTs: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth out of range: $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval out of range: $maxBucketsPerInterval")
     val pts = points.withColumn("__bkt", expr(s"$pointTs div ${bucketWidth}L"))
     val ivs = intervals
       .filter(col(endTs) >= col(startTs))
-      .withColumn("__bkt", explode(sequence(
-        expr(s"$startTs div ${bucketWidth}L"), expr(s"$endTs div ${bucketWidth}L"))))
+      .withColumn("__bkt", explode(guardedBuckets(
+        keys, startTs, endTs, bucketWidth, maxBucketsPerInterval)))
     pts.join(ivs, (keys :+ "__bkt").toSeq)
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bkt")
+  }
+
+  /** Inner interval-overlap join — the third standard temporal shape after
+    * as-of and point⋈interval: left interval rows paired with every right
+    * interval row of equal `keys` whose [rStart, rEnd] overlaps their
+    * [lStart, lEnd] (closed intervals; touching endpoints DO overlap).
+    * Session⋈outage, span⋈span.
+    *
+    * Same binning trick as [[rangeJoin]], applied to BOTH sides: each side
+    * explodes to the fixed-width buckets it covers, the inequality join
+    * becomes an equi-join on (keys, bucket) + the exact overlap filter —
+    * shuffle hash/merge strategy instead of the broadcast-nested-loop plan a
+    * raw inequality condition gets, and the bucket key spreads hot-key skew
+    * across time. An overlapping pair is covered by EVERY bucket their
+    * overlap region spans — it is emitted exactly once via the
+    * first-overlap-bucket trick: only the bucket of max(lStart, rStart)
+    * (= max of the two start buckets, div being monotone) produces the pair;
+    * that bucket lies in both intervals whenever they overlap, so no
+    * qualifying pair is lost and no dedup pass runs. Degenerate intervals
+    * (end < start) on either side produce nothing. Timestamps must be
+    * non-negative. Both sides' non-key column names must be disjoint;
+    * `maxBucketsPerInterval` guards each side's replication exactly as in
+    * [[rangeJoin]]. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth out of range: $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval out of range: $maxBucketsPerInterval")
+    def explodeSide(df: DataFrame, start: String, end: String) = df
+      .filter(col(end) >= col(start))
+      .withColumn("__bkt", explode(guardedBuckets(
+        keys, start, end, bucketWidth, maxBucketsPerInterval)))
+    explodeSide(left, lStart, lEnd)
+      .join(explodeSide(right, rStart, rEnd), (keys :+ "__bkt").toSeq)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // first-overlap-bucket: emit in the bucket of max(lStart, rStart) only
+      .filter(col("__bkt") === greatest(
+        expr(s"$lStart div ${bucketWidth}L"), expr(s"$rStart div ${bucketWidth}L")))
+      .drop("__bkt")
+  }
+
+  /** The covered-bucket array of [startTs, endTs] at `bucketWidth`, or a
+    * fast in-task failure naming the row when it would exceed `cap` buckets
+    * (the count is checked with integer arithmetic BEFORE `sequence()`
+    * materializes anything). */
+  private def guardedBuckets(keys: Seq[String], startTs: String, endTs: String,
+      bucketWidth: Long, cap: Long): Column = {
+    val lo = expr(s"$startTs div ${bucketWidth}L")
+    val hi = expr(s"$endTs div ${bucketWidth}L")
+    val msg = concat(
+      lit(s"rangeJoin: interval covers more than $cap buckets of width " +
+        s"$bucketWidth (key="),
+      concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+      lit(s", $startTs="), col(startTs).cast("string"),
+      lit(s", $endTs="), col(endTs).cast("string"),
+      lit(") — clean the row or raise bucketWidth toward the typical interval length"))
+    when(hi - lo < cap, sequence(lo, hi)).otherwise(raise_error(msg))
   }
 }

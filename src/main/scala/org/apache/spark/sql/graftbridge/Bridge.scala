@@ -28,4 +28,11 @@ object Bridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** A session sharing `spark`'s SparkContext, shared state (external
+    * catalog, warehouse) and a COPY of its session state — conf changes on
+    * the clone never leak back. The supported way to give one query a
+    * session-level conf without mutating the caller's session for life. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -76,6 +76,36 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((Some("b"), 1L, 200L)))
   }
 
+  test("maintainAggs: count + several sums maintained in one pass equal recomputation; " +
+      "avg derivable from the maintained pair") {
+    val snap2 = Seq(
+      (1L, "a", 100L, 3L), (2L, "b", 200L, 5L), (3L, "a", 300L, 7L)
+    ).toDF("id", "status", "cents", "units")
+    val ch = Seq(
+      (1L, "a", 150L, 4L, "U", 1L),  // update both measures in group a
+      (2L, "b", 0L, 0L, "D", 1L),    // group b vanishes
+      (4L, "z", 500L, 9L, "I", 1L)   // new group z
+    ).toDF("id", "status", "cents", "units", "op", "seq")
+    val oldAgg = snap2.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+        sum("units").as("units_sum"))
+    val incr = Cdc.maintainAggs(oldAgg, snap2, ch, Seq("id"), "status",
+      Seq("cents" -> "cents_sum", "units" -> "units_sum"), "seq", "op")
+    val recomputed = Cdc.applyChangelog(snap2, ch, Seq("id"), "seq", "op")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+        sum("units").as("units_sum"))
+    def set(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(set(incr) === set(recomputed))
+    assert(set(incr) === Set(("a", 2L, 450L, 11L), ("z", 1L, 500L, 9L)))
+    // avg derives exactly from the maintained (count, sum) pair
+    val avg = incr.withColumn("avg_cents",
+        org.apache.spark.sql.functions.expr("cents_sum div n_rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(avg === Map("a" -> 225L, "z" -> 500L))
+  }
+
   test("maintainCountSum plan: snapshot probed via broadcast, never shuffled for the minus join") {
     val q = SparkEntry.queries("q_incr_agg")(spark, "/root/testdata/sf0.001")
     graft.tools.PlanPin.withStaticPlans(spark) {

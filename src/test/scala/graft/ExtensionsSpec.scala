@@ -55,4 +55,78 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) === "caf\u00e9")
     assert(r.getString(1) === "ascii")
   }
+
+  // ---- table functions (GraftTableFunctions): the FROM-clause surface ----
+
+  private def tvfFixtures(): Unit = {
+    import spark.implicits._
+    Seq(("a", 100L, 1L), ("a", 150L, 2L), ("a", 50L, 3L), ("b", 500L, 4L))
+      .toDF("k", "ts", "row_id").createOrReplaceTempView("tvf_probe")
+    Seq(("a", 100L, 10L), ("a", 140L, 14L), ("b", 400L, 40L))
+      .toDF("k", "snap_ts", "version").createOrReplaceTempView("tvf_build")
+  }
+
+  test("asof_join / asof_join_broadcast from SQL match the Column API") {
+    tvfFixtures()
+    for (f <- Seq("asof_join", "asof_join_broadcast")) {
+      val got = spark.sql(
+        s"""SELECT row_id, version
+            FROM $f('tvf_probe', 'tvf_build', 'k', 'ts', 'snap_ts')""")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got === Map(1L -> Some(10L), 2L -> Some(14L), 3L -> None, 4L -> Some(40L)), f)
+    }
+    // literal maxStaleness as the optional 6th argument
+    val bounded = spark.sql(
+      """SELECT row_id, version
+         FROM asof_join_broadcast('tvf_probe', 'tvf_build', 'k', 'ts', 'snap_ts', 10)""")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(bounded === Map(1L -> Some(10L), 2L -> Some(14L), 3L -> None, 4L -> None))
+  }
+
+  test("range_join / overlap_join / top_k / apply_changelog from SQL") {
+    import spark.implicits._
+    tvfFixtures()
+    Seq(("a", 90L, 120L, 7L)).toDF("k", "w_start", "w_end", "win_id")
+      .createOrReplaceTempView("tvf_windows")
+    val rj = spark.sql(
+      """SELECT row_id, win_id
+         FROM range_join('tvf_probe', 'tvf_windows', 'k', 'ts', 'w_start', 'w_end', 50)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rj === Set((1L, 7L))) // only ts=100 \u2208 [90,120]
+
+    Seq(("a", 60L, 95L, 9L)).toDF("k", "l_start", "l_end", "iv_id")
+      .createOrReplaceTempView("tvf_spans")
+    val oj = spark.sql(
+      """SELECT iv_id, win_id
+         FROM overlap_join('tvf_spans', 'tvf_windows', 'k',
+                           'l_start', 'l_end', 'w_start', 'w_end', 50)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oj === Set((9L, 7L))) // [60,95] \u2229 [90,120] \u2260 \u2205
+
+    val tk = spark.sql(
+      """SELECT k, ts, rnk FROM top_k('tvf_probe', 'k', 'ts DESC', 1, 'rnk')""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tk === Set(("a", 150L, 1), ("b", 500L, 1)))
+
+    Seq(("a", 100L, 1L, "U", 1L), ("c", 999L, 5L, "I", 1L), ("b", 500L, 4L, "D", 1L))
+      .toDF("k", "ts", "row_id", "op", "seq").createOrReplaceTempView("tvf_changes")
+    val merged = spark.sql(
+      """SELECT k, ts, row_id
+         FROM apply_changelog('tvf_probe', 'tvf_changes', 'k,ts', 'seq', 'op')""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === Set(
+      ("a", 100L, 1L), ("a", 150L, 2L), ("a", 50L, 3L), // b@500 deleted
+      ("c", 999L, 5L)))                                 // insert applied
+  }
+
+  test("table functions reject non-literal or malformed options with a clear error") {
+    tvfFixtures()
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM top_k('tvf_probe', 'k', 'ts SIDEWAYS', 1)").collect()
+    }
+    assert(e.getMessage.contains("ASC|DESC"), e.getMessage)
+  }
 }

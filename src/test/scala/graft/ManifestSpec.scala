@@ -296,6 +296,64 @@ class ManifestSpec extends SparkSpec {
     assert(ids(m.streamSinkAsOf(spark, "nope", Long.MaxValue)) === Set.empty)
   }
 
+  test("retention sweep: expireSnapshots compacts the log; pinned reads below the " +
+      "horizon fail fast; servable pins stay exact; missing data dirs are refused") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ret").toString
+    val m = new Manifest(out)
+    def batch(ids: Seq[Int]) = ids
+      .map(i => (s"conv-0000$i", i, "user", s"text $i", "t", new java.sql.Timestamp(i * 1000L), "s1"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    // five stream batches → audit records at snapshot ids 1..5, batches 0..4
+    (0 until 5).foreach(i => m.commitStreamBatch(batch(Seq(i + 1)), i.toLong))
+    assert(m.currentSnapshotId() === 5L)
+
+    // keepLast=2 → horizon 4: records 1..3 (batches 0..2) expire and compact
+    val expired = m.expireSnapshots(keepLast = 2)
+    assert(expired === Seq(1L, 2L, 3L))
+    assert(m.snapshots(spark).count() === 2L, "/snapshots must reflect the sweep")
+    assert(m.retention() ===
+      Manifest.Retention(4L, Map("s1" -> Manifest.Retention.Base(2L, 3L))))
+    // re-sweep is an idempotent no-op
+    assert(m.expireSnapshots(keepLast = 2) === Seq.empty)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      if (df.columns.isEmpty) Set.empty
+      else df.select("turn_idx").collect().map(_.getInt(0)).toSet
+    // servable pins reconstruct the expired prefix from the compacted base
+    assert(ids(m.streamSinkAsOf(spark, "s1", 5L)) === Set(1, 2, 3, 4, 5))
+    assert(ids(m.streamSinkAsOf(spark, "s1", 4L)) === Set(1, 2, 3, 4))
+    // a pin below the horizon fails FAST — never a partial answer
+    val e = intercept[IllegalStateException] { m.streamSinkAsOf(spark, "s1", 3L) }
+    assert(e.getMessage.contains("retention horizon"))
+    // a committed batch dir going missing is refused, not silently skipped
+    graft.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(m.sinkPath("s1"), "batch=1"))
+    val e2 = intercept[IllegalStateException] { m.streamSinkAsOf(spark, "s1", 5L) }
+    assert(e2.getMessage.contains("partial data"))
+  }
+
+  test("retention sweep never expires a sink's most-recent record (live-data provenance)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ret2").toString
+    val m = new Manifest(out)
+    val rows = Seq(("conv-1", 1, "user", "t", "t", new java.sql.Timestamp(1000L), "alpha"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    m.writeAndCommit("alpha", rows, runId = "r1") // snapshot id 1 — alpha's only commit
+    (0 until 5).foreach(i => m.appendSnapshot(sid =>
+      s"""{"snapshot_id":$sid,"parent_id":${sid - 1},"run_id":"x$i","sink":"beta",""" +
+        s""""op":"commit","row_count":0,"bytes":0,"convs":0,""" +
+        s""""committed_ts":"2026-01-01T00:00:00Z"}"""))
+    assert(m.currentSnapshotId() === 6L)
+    // horizon 5: ids 1..4 qualify, but id 1 is alpha's latest → kept
+    val expired = m.expireSnapshots(keepLast = 2)
+    assert(expired === Seq(2L, 3L, 4L))
+    val left = m.snapshots(spark).collect().map(_.getAs[Long]("snapshot_id")).toSet
+    assert(left === Set(1L, 5L, 6L))
+    assert(m.retention().horizon === 5L)
+    assert(m.retention().bases.isEmpty, "batch commits never produce stream bases")
+  }
+
   test("snapshot commit log: concurrent commits linearize, records never rewritten") {
     val out = Files.createTempDirectory("graft-snap").toString
     val m = new Manifest(out)

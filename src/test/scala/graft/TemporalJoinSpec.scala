@@ -146,6 +146,87 @@ class TemporalJoinSpec extends SparkSpec {
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
   }
 
+  test("rangeJoin: a pathological interval fails fast naming the key, instead of " +
+      "materializing millions of bucket rows (replication circuit-breaker)") {
+    val pts = Seq(("a", 5L, 1L)).toDF("k", "ts", "pid")
+    val hostile = Seq(
+      ("a", 0L, 9L, 100L),                 // sane: 1 bucket at width 10
+      ("a", 0L, 253402300799000000L, 666L) // 9999-12-31 sentinel end — a data bug
+    ).toDF("k", "w_start", "w_end", "win_id")
+    // USER_RAISED_EXCEPTION surfaces as SparkRuntimeException (raise_error),
+    // possibly wrapped in a SparkException task failure — match the message
+    // anywhere on the cause chain
+    val e = intercept[Exception] {
+      TemporalJoin.rangeJoin(pts, hostile, Seq("k"), "ts", "w_start", "w_end", 10L).count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("rangeJoin") && msg.contains("key=a") &&
+      msg.contains("253402300799000000"), msg)
+    // the documented remedy — bucketWidth raised toward the interval scale —
+    // brings the same rows under the cap and the join runs clean
+    val ok = TemporalJoin.rangeJoin(pts, hostile, Seq("k"), "ts", "w_start", "w_end",
+      bucketWidth = 100000000000000L)
+    assert(ok.select("win_id").collect().map(_.getLong(0)).toSet === Set(100L, 666L))
+  }
+
+  test("overlapJoin: closed-interval overlap, touching endpoints, exactly-once pairs, " +
+      "degenerate intervals dropped") {
+    val l = Seq(
+      ("a", 0L, 25L, 1L),   // crosses buckets 0..2 at width 10
+      ("a", 40L, 45L, 2L),
+      ("a", 50L, 30L, 3L),  // degenerate: end < start
+      ("b", 0L, 100L, 4L)
+    ).toDF("k", "l_start", "l_end", "lid")
+    val r = Seq(
+      ("a", 20L, 60L, 100L), // overlaps lid 1 ([20,25]) and lid 2
+      ("a", 25L, 25L, 101L), // touches lid 1 exactly at 25 — closed: overlap
+      ("a", 26L, 39L, 102L), // gap between lid 1 and lid 2
+      ("b", 200L, 300L, 103L), // disjoint from lid 4
+      ("b", 90L, 80L, 104L)  // degenerate
+    ).toDF("k", "r_start", "r_end", "rid")
+    val got = TemporalJoin.overlapJoin(l, r, Seq("k"),
+        "l_start", "l_end", "r_start", "r_end", bucketWidth = 10L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // exactly-once: no pair may appear twice even when the overlap region
+    // spans several buckets (lid 4 never matches; lid 1 × rid 100 overlap
+    // [20,25] spans one bucket but both intervals span several)
+    assert(got.length === got.toSet.size, s"duplicate pairs: ${got.mkString(",")}")
+    assert(got.toSet === Set((1L, 100L), (1L, 101L), (2L, 100L)))
+  }
+
+  test("overlapJoin parity with the naive inequality join on real data") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("e_us"))
+    val spans = e.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("e_us")).as("span_start"), max(col("e_us")).as("span_end"))
+    val wins = e
+      .withColumn("bkt", expr("e_us div 21600000000L"))
+      .filter(col("bkt") % 4 === length(col("event_type")) % 4)
+      .select(col("event_type"), col("bkt").as("version"),
+        (col("bkt") * 21600000000L).as("w_start"),
+        (col("bkt") * 21600000000L + 5400000000L).as("w_end"))
+      .distinct()
+    val binned = TemporalJoin.overlapJoin(spans, wins, Seq("event_type"),
+        "span_start", "span_end", "w_start", "w_end", bucketWidth = 21600000000L)
+      .groupBy("event_type", "version").count()
+    val naive = spans.join(wins.withColumnRenamed("event_type", "w_type"),
+        col("event_type") === col("w_type") &&
+          col("span_start") <= col("w_end") && col("w_start") <= col("span_end"))
+      .groupBy("event_type", "version").count()
+    assert(binned.count() > 0)
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+
+  test("overlapJoin plan: equi-join strategy, never nested-loop or cartesian") {
+    val q = SparkEntry.queries("q_overlap_sessions")(spark, sfDir)
+    PlanPin.withStaticPlans(spark) {
+      val st = PlanPin.stats(q)
+      assert(st.cartesians === 0 && st.nestedLoopJoins === 0, st.toString)
+    }
+  }
+
   test("rangeJoin plan: equi-join strategy, never nested-loop or cartesian") {
     val q = SparkEntry.queries("q_range_windows")(spark, sfDir)
     PlanPin.withStaticPlans(spark) {

@@ -127,9 +127,10 @@ class TpchSpec extends SparkSpec {
   }
 
   test("bucketed revenue: zero exchange and zero sort on the fact join, parity with plain join") {
-    val confs = Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    // deliberately does NOT set bucketedTableScan.outputOrdering here: the
+    // sort elision must come from the conf-scoped clone inside
+    // revenueByPriorityBucketed, not from test session state
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -164,6 +165,21 @@ class TpchSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
       spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
     }
+  }
+
+  test("bucketed revenue never mutates the caller's session conf (the legacy " +
+      "sort-propagation flag is only sound for one-file-per-bucket tables)") {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val before = spark.conf.get(key)
+    assert(before === "false", "default must be the safe value for this check to mean anything")
+    val df = Tpch.revenueByPriorityBucketed(spark, sfDir)
+    assert(df.count() > 0)
+    assert(spark.conf.get(key) === before,
+      "a graded query must not leave a session-global planner flag flipped: " +
+        "the NEXT bucketed table anyone registers would trust a per-bucket-file " +
+        "sort order nothing guarantees")
+    spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
   }
 
   test("AQE splits the skewed fact join (skew=true in the final plan)") {
