@@ -63,7 +63,10 @@ object Bench {
     // round-5 operator wave: broadcast as-of join (codegen binary search),
     // CDC changelog compaction (group-limit winners + anti-join), funnel
     // (N chained windows over one exchange)
-    "q_asof_config", "q_cdc_upsert", "q_funnel")
+    "q_asof_config", "q_cdc_upsert", "q_funnel",
+    // round-6: interval⋈interval overlap join (both sides binned,
+    // exactly-once via the first-overlap-bucket rule)
+    "q_overlap_sessions")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

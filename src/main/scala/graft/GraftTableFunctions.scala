@@ -137,5 +137,18 @@ object GraftTableFunctions {
         view(strArg(args(0), "snapshot")), view(strArg(args(1), "changelog")),
         keys(strArg(args(2), "keys")),
         strArg(args(3), "seqCol"), strArg(args(4), "opCol")))
+    },
+    // diff_snapshots(oldSnap, newSnap, keys [, seq])
+    fn("diff_snapshots") { args =>
+      plan(Cdc.diffSnapshots(
+        view(strArg(args(0), "oldSnap")), view(strArg(args(1), "newSnap")),
+        keys(strArg(args(2), "keys")),
+        optLongArg(args, 3, "seq").getOrElse(1L)))
+    },
+    // scd2_history(changelog, keys, seqCol, opCol, tsCol)
+    fn("scd2_history") { args =>
+      plan(graft.cdc.Scd2.fromChangelog(
+        view(strArg(args(0), "changelog")), keys(strArg(args(1), "keys")),
+        strArg(args(2), "seqCol"), strArg(args(3), "opCol"), strArg(args(4), "tsCol")))
     })
 }

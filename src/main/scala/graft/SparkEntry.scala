@@ -522,6 +522,30 @@ object SparkEntry {
       graft.cdc.Cdc.applyChangelog(snap, cdcChangelog(snap),
         keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
     }),
+    // snapshot DIFF — the inverse of the MERGE: one full-outer key join +
+    // null-safe struct comparison manufactures the minimal I/U/D changelog
+    // between two full dumps (the vendor-feed reality); oracle recomputes
+    // the new snapshot independently and diffs it in SQL
+    "q_cdc_diff" -> ((s, dir) => {
+      val snap = cdcSnapshot(s, dir)
+      val next = graft.cdc.Cdc.applyChangelog(snap, cdcChangelog(snap),
+        keys = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+      graft.cdc.Cdc.diffSnapshots(snap, next, keys = Seq("o_orderkey"))
+    }),
+    // SCD2 dimension-history build: changelog → validity intervals
+    // (valid_from / valid_to / is_current) via ONE key window + lead() —
+    // the producer of the histories the as-of join consumes (Scd2Spec
+    // proves as-of == interval-containment on this output); DuckDB lead()
+    // is the oracle, open versions carry a max-long sentinel end
+    "q_scd2" -> ((s, dir) => {
+      val ch = configSnaps(s, dir)
+        .withColumn("op", lit("U")).withColumn("seq", col("snap_us"))
+      graft.cdc.Scd2.fromChangelog(ch, keys = Seq("event_type"),
+          seqCol = "seq", opCol = "op", tsCol = "snap_us")
+        .select(col("event_type"), col("version"), col("valid_from"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
+          col("is_current"))
+    }),
     // Bloom-accelerated incremental dedup: EXACT anti-join result, with a
     // distributed Bloom sketch keeping provably-new rows out of the shuffle
     // (graft.dedup.BloomDedup; oracle is the plain NOT IN)
@@ -1590,6 +1614,60 @@ object SparkEntry {
          WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM win)
          UNION ALL
          SELECT o_orderkey, o_orderstatus, price_cents FROM win WHERE op <> 'D'""",
+    // independent formulation: recompute the NEW snapshot (the MERGE), then
+    // diff old vs new with a full-outer join + IS DISTINCT FROM in SQL
+    "q_cdc_diff" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_orderstatus,
+             cast(floor(o_totalprice * 100) AS bigint) AS price_cents
+           FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_orderstatus, price_cents + 1000 AS price_cents,
+             'U' AS op, 1 AS seq FROM snap WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents, 'D', 2
+           FROM snap WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, 'N', price_cents, 'I', 1
+           FROM snap WHERE o_orderkey % 13 = 0),
+         win AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         merged AS (
+           SELECT s.o_orderkey, s.o_orderstatus, s.price_cents FROM snap s
+           WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM win)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, price_cents FROM win WHERE op <> 'D')
+         SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           coalesce(n.price_cents, o.price_cents) AS price_cents,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                  OR n.price_cents IS DISTINCT FROM o.price_cents THEN 'U'
+           END AS op,
+           cast(1 AS bigint) AS seq
+         FROM snap o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey
+         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+           OR n.price_cents IS DISTINCT FROM o.price_cents""",
+    "q_scd2" ->
+      """WITH b AS (
+           SELECT event_type, epoch_us(ts) // 21600000000 AS bkt FROM events),
+         s AS (
+           SELECT DISTINCT event_type, bkt AS version, bkt * 21600000000 AS snap_us
+           FROM b WHERE bkt % 4 = strlen(event_type) % 4),
+         h AS (
+           SELECT event_type, version, snap_us AS valid_from,
+             lead(snap_us) OVER (PARTITION BY event_type ORDER BY snap_us)
+               AS valid_to
+           FROM s)
+         SELECT event_type, version, valid_from,
+           coalesce(valid_to, 9223372036854775807) AS valid_to,
+           valid_to IS NULL AS is_current
+         FROM h""",
     "q_pivot_type_hours" ->
       """SELECT cast(hour(ts) AS int) AS hour,
            count(*) FILTER (WHERE event_type = 'click') AS click,

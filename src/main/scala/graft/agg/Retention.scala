@@ -21,12 +21,28 @@ object Retention {
     * period (`periodExpr` of its earliest event), day_offset = period −
     * cohort, n_active = distinct entities from that cohort active at that
     * offset. Offset 0 row carries each cohort's size. */
-  def cohortMatrix(events: DataFrame, entity: Column, period: Column): DataFrame = {
-    val base = events.select(entity.as("__ent"), period.as("__p"))
-    val anchored = base.withColumn("__cohort",
-      min(col("__p")).over(Window.partitionBy(col("__ent"))))
-    anchored
+  def cohortMatrix(events: DataFrame, entity: Column, period: Column): DataFrame =
+    anchored(events, entity, period)
       .groupBy(col("__cohort").as("cohort"), (col("__p") - col("__cohort")).as("day_offset"))
       .agg(countDistinct(col("__ent")).as("n_active"))
-  }
+
+  /** The approximate swap the header promises, made concrete: the SAME plan
+    * with the final exact distinct replaced by approx_count_distinct. The
+    * window's entity partitioning already clusters the distinct triples, so
+    * neither form pays an extra exchange — the difference is the ROW VOLUME
+    * entering the final (cohort, offset) exchange: the exact form ships one
+    * row per (cell, entity) — entity-volume, unbounded per cell; the HLL
+    * form ships one FIXED-SIZE mergeable sketch per cell per map partition —
+    * matrix-sized. `rsd` is the standard-error knob (Spark's HLL++;
+    * 0.02 ⇒ ±2 %). RetentionSpec bounds the error against the exact matrix
+    * and asserts the partial-aggregate shapes. */
+  def cohortMatrixApprox(events: DataFrame, entity: Column, period: Column,
+      rsd: Double = 0.02): DataFrame =
+    anchored(events, entity, period)
+      .groupBy(col("__cohort").as("cohort"), (col("__p") - col("__cohort")).as("day_offset"))
+      .agg(approx_count_distinct(col("__ent"), rsd).as("n_active"))
+
+  private def anchored(events: DataFrame, entity: Column, period: Column): DataFrame =
+    events.select(entity.as("__ent"), period.as("__p"))
+      .withColumn("__cohort", min(col("__p")).over(Window.partitionBy(col("__ent"))))
 }

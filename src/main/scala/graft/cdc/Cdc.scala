@@ -73,6 +73,46 @@ object Cdc {
     maintainAggs(oldAgg, snapshot, changelog, keys, groupCol,
       Seq(valueCol -> sumName), seqCol, opCol, cntName)
 
+  /** Snapshot DIFF — the inverse of [[applyChangelog]]: compare two keyed
+    * snapshots and emit the minimal changelog (one 'I'/'U'/'D' row per
+    * changed key, nothing for unchanged rows) that replays `oldSnap` into
+    * `newSnap`. This is how a pipeline that only receives periodic full
+    * dumps (the common vendor-feed reality) manufactures a CDC feed for
+    * every downstream consumer built here — [[applyChangelog]],
+    * [[maintainAggs]], [[Scd2.fromChangelog]].
+    *
+    * Scale shape: ONE full-outer equi-join on the key (both sides shuffle
+    * once — the irreducible cost of comparing two keyed sets), change
+    * detection as a null-safe struct comparison in the projection (codegen,
+    * no per-column joins), output sized by the DELTA, not the snapshots.
+    * Round-trip law (CdcSpec): applyChangelog(old, diffSnapshots(old, new))
+    * == new, for any two snapshots. All emitted rows carry `seq` so the
+    * feed drops straight into the seq-ordered consumers. */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      seq: Long = 1L, seqName: String = "seq", opName: String = "op"): DataFrame = {
+    val dataCols = oldSnap.columns.toSeq
+    require(newSnap.columns.toSeq == dataCols,
+      s"snapshots must share a schema: ${dataCols} vs ${newSnap.columns.toSeq}")
+    val vals = dataCols.filterNot(keys.contains)
+    def side(df: DataFrame, tag: String) = df.select(
+      keys.map(col) :+ struct(vals.map(col): _*).as(s"__$tag"): _*)
+    // null-safe struct equality: a null column value compares equal to
+    // itself (<=>), so nullable attributes never report phantom updates
+    // using-columns full-outer join: Spark coalesces each key into ONE
+    // output column, so unmatched rows from either side keep their key
+    side(oldSnap, "o")
+      .join(side(newSnap, "n"), keys, "full_outer")
+      .withColumn(opName,
+        when(col("__o").isNull, lit("I"))
+          .when(col("__n").isNull, lit("D"))
+          .when(!(col("__o") <=> col("__n")), lit("U")))
+      .filter(col(opName).isNotNull)
+      // D rows carry the OLD values (the key is what matters), I/U the new
+      .select(keys.map(col) ++
+        vals.map(v => coalesce(col(s"__n.$v"), col(s"__o.$v")).as(v)) ++
+        Seq(col(opName), lit(seq).as(seqName)): _*)
+  }
+
   /** [[maintainCountSum]] generalized to ANY number of summed measures —
     * count plus one sum per `(valueCol, sumName)` pair, maintained in the
     * same single pass (the snapshot is still probed exactly once with one

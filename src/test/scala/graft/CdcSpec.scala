@@ -76,6 +76,45 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((Some("b"), 1L, 200L)))
   }
 
+  test("diffSnapshots: minimal I/U/D changelog; unchanged rows emit nothing; " +
+      "null values never report phantom updates; round-trip law holds") {
+    val oldSnap = Seq(
+      (1L, Option("a"), 100L),  // unchanged
+      (2L, Option("b"), 200L),  // value change → U
+      (3L, Option.empty[String], 300L), // null value, unchanged → nothing
+      (4L, Option("d"), 400L)   // missing from new → D
+    ).toDF("id", "status", "cents")
+    val newSnap = Seq(
+      (1L, Option("a"), 100L),
+      (2L, Option("b"), 250L),
+      (3L, Option.empty[String], 300L),
+      (5L, Option("e"), 500L)   // new key → I
+    ).toDF("id", "status", "cents")
+    val diff = Cdc.diffSnapshots(oldSnap, newSnap, Seq("id"))
+    val got = diff.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set(
+      (2L, Some("b"), 250L, "U"),  // carries the NEW values
+      (4L, Some("d"), 400L, "D"),  // carries the old values, key is what matters
+      (5L, Some("e"), 500L, "I")))
+    // round-trip law: applying the diff replays old into new exactly
+    val replayed = Cdc.applyChangelog(oldSnap, diff, Seq("id"), "seq", "op")
+    assert(replayed.exceptAll(newSnap).isEmpty && newSnap.exceptAll(replayed).isEmpty)
+  }
+
+  test("diffSnapshots round-trip on real data reproduces the changelog's effect") {
+    val sfDir = "/root/testdata/sf0.001"
+    val snap = SparkEntry.queries("q_cdc_upsert")(spark, sfDir) // next snapshot
+    val oldSnap = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        org.apache.spark.sql.functions.floor(col("o_totalprice") * 100)
+          .cast("bigint").as("price_cents"))
+    val diff = Cdc.diffSnapshots(oldSnap, snap, Seq("o_orderkey"))
+    val replayed = Cdc.applyChangelog(oldSnap, diff, Seq("o_orderkey"), "seq", "op")
+    assert(replayed.exceptAll(snap).isEmpty && snap.exceptAll(replayed).isEmpty)
+    assert(diff.count() > 0)
+  }
+
   test("maintainAggs: count + several sums maintained in one pass equal recomputation; " +
       "avg derivable from the maintained pair") {
     val snap2 = Seq(

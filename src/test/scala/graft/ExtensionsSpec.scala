@@ -122,6 +122,31 @@ class ExtensionsSpec extends AnyFunSuite {
       ("c", 999L, 5L)))                                 // insert applied
   }
 
+  test("diff_snapshots / scd2_history from SQL") {
+    import spark.implicits._
+    tvfFixtures()
+    Seq(("a", 100L, 1L), ("a", 150L, 9L), ("c", 7L, 7L))
+      .toDF("k", "ts", "row_id").createOrReplaceTempView("tvf_new")
+    val diff = spark.sql(
+      """SELECT k, ts, row_id, op
+         FROM diff_snapshots('tvf_probe', 'tvf_new', 'k,ts')""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(diff === Set(
+      ("a", 150L, 9L, "U"), ("a", 50L, 3L, "D"),
+      ("b", 500L, 4L, "D"), ("c", 7L, 7L, "I")))
+    Seq(("a", 100L, 10L, "I", 1L), ("a", 180L, 18L, "U", 2L), ("a", 250L, 0L, "D", 3L))
+      .toDF("k", "ts", "version", "op", "seq")
+      .createOrReplaceTempView("tvf_changes_scd")
+    val hist = spark.sql(
+      """SELECT k, version, valid_from, valid_to, is_current
+         FROM scd2_history('tvf_changes_scd', 'k', 'seq', 'op', 'ts')""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(hist === Set(
+      ("a", 10L, 100L, Some(180L), false),
+      ("a", 18L, 180L, Some(250L), false))) // the delete closed version 18
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {
