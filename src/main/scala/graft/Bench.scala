@@ -65,8 +65,9 @@ object Bench {
     // (N chained windows over one exchange)
     "q_asof_config", "q_cdc_upsert", "q_funnel",
     // round-6: interval⋈interval overlap join (both sides binned,
-    // exactly-once via the first-overlap-bucket rule)
-    "q_overlap_sessions")
+    // exactly-once via the first-overlap-bucket rule) and sweep-line
+    // interval density (two-level distributed prefix sum)
+    "q_overlap_sessions", "q_interval_density")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

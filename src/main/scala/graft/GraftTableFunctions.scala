@@ -150,5 +150,13 @@ object GraftTableFunctions {
       plan(graft.cdc.Scd2.fromChangelog(
         view(strArg(args(0), "changelog")), keys(strArg(args(1), "keys")),
         strArg(args(2), "seqCol"), strArg(args(3), "opCol"), strArg(args(4), "tsCol")))
+    },
+    // active_intervals(spans, startCol, endCol, bucketWidth [, blockBuckets])
+    fn("active_intervals") { args =>
+      plan(graft.temporal.Sweep.activeIntervals(
+        view(strArg(args(0), "spans")),
+        strArg(args(1), "startCol"), strArg(args(2), "endCol"),
+        longArg(args(3), "bucketWidth"),
+        optLongArg(args, 4, "blockBuckets").getOrElse(4096L).toInt))
     })
 }

@@ -512,6 +512,19 @@ object SparkEntry {
           sum(least(col("span_end"), col("w_end")) -
             greatest(col("span_start"), col("w_start"))).as("overlap_us"))
     }),
+    // sweep-line interval density: concurrent active (event_type, user)
+    // spans per hour — 2 delta rows per interval regardless of length, then
+    // a TWO-LEVEL distributed prefix sum (block windows in parallel + one
+    // global window over #blocks rows) instead of the single-partition
+    // global window the naive cumsum plans (graft.temporal.Sweep); the
+    // oracle IS that naive global window, so the green hash proves the
+    // distributed decomposition == the serial scan
+    "q_interval_density" -> ((s, dir) => {
+      val spans = eventsUs(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("e_us")).as("span_start"), max(col("e_us")).as("span_end"))
+      graft.temporal.Sweep.activeIntervals(spans, "span_start", "span_end",
+        bucketWidth = 3600000000L, blockBuckets = 64)
+    }),
     // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
     // WindowGroupLimit-bounded rank, one anti-join + union — the nightly
     // snapshot-maintenance job (graft.cdc.Cdc); changelog derived
@@ -1413,6 +1426,22 @@ object SparkEntry {
          FROM sp JOIN w ON sp.event_type = w.event_type
            AND sp.span_start <= w.w_end AND w.w_start <= sp.span_end
          GROUP BY 1, 2""",
+    // the oracle is the SERIAL formulation the operator decomposes: one
+    // global running sum over the per-bucket deltas
+    "q_interval_density" ->
+      """WITH b AS (
+           SELECT event_type, user_id, epoch_us(ts) AS e_us FROM events),
+         sp AS (
+           SELECT event_type, user_id, min(e_us) AS s, max(e_us) AS e
+           FROM b GROUP BY 1, 2),
+         deltas AS (
+           SELECT s // 3600000000 AS bkt, 1 AS d FROM sp
+           UNION ALL
+           SELECT e // 3600000000 + 1 AS bkt, -1 AS d FROM sp),
+         agg AS (SELECT bkt, sum(d) AS d FROM deltas GROUP BY bkt)
+         SELECT bkt * 3600000000 AS bucket_start,
+           cast(sum(d) OVER (ORDER BY bkt) AS bigint) AS active
+         FROM agg""",
     "q_profile" ->
       """SELECT count(*) AS n_rows,
            count(DISTINCT o_custkey) AS n_custkeys,
@@ -1641,8 +1670,10 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey, o_orderstatus, price_cents FROM win WHERE op <> 'D')
          SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
-           coalesce(n.price_cents, o.price_cents) AS price_cents,
+           CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                ELSE n.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NULL THEN o.price_cents
+                ELSE n.price_cents END AS price_cents,
            CASE WHEN o.o_orderkey IS NULL THEN 'I'
                 WHEN n.o_orderkey IS NULL THEN 'D'
                 WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus

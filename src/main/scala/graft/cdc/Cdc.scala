@@ -108,8 +108,12 @@ object Cdc {
           .when(!(col("__o") <=> col("__n")), lit("U")))
       .filter(col(opName).isNotNull)
       // D rows carry the OLD values (the key is what matters), I/U the new
+      // — chosen by which SIDE matched, never per column: a per-column
+      // coalesce would resurrect the old value under an update-to-null
+      // (caught by the LawsPropertySpec round-trip law)
       .select(keys.map(col) ++
-        vals.map(v => coalesce(col(s"__n.$v"), col(s"__o.$v")).as(v)) ++
+        vals.map(v => when(col("__n").isNull, col(s"__o.$v"))
+          .otherwise(col(s"__n.$v")).as(v)) ++
         Seq(col(opName), lit(seq).as(seqName)): _*)
   }
 

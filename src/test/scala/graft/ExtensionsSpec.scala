@@ -147,6 +147,16 @@ class ExtensionsSpec extends AnyFunSuite {
       ("a", 18L, 180L, Some(250L), false))) // the delete closed version 18
   }
 
+  test("active_intervals from SQL matches the Column API") {
+    import spark.implicits._
+    Seq((0L, 29L), (5L, 19L), (10L, 39L))
+      .toDF("s", "e").createOrReplaceTempView("tvf_spans")
+    val got = spark.sql(
+      "SELECT * FROM active_intervals('tvf_spans', 's', 'e', 10, 4)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 10L -> 3L, 20L -> 2L, 30L -> 1L, 40L -> 0L))
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {
