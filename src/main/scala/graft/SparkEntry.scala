@@ -61,6 +61,51 @@ object SparkEntry {
         (col("bkt") * SnapBucketUs).as("snap_us"))
       .distinct()
 
+  /** Z-ordered copy of events (event_id, user_id, absolute-hour bucket) +
+    * its file-stats manifest, built once per sf dir on scratch (the
+    * `ensureBucketedFacts` ingest-prepays-the-layout pattern; reruns and
+    * later JVMs reuse it — the manifest's _SUCCESS is the done marker). */
+  private val zOrderLock = new Object
+  private[graft] def ensureZOrderedEvents(s: SparkSession, dir: String): String =
+    zOrderLock.synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val zdir = s"${graft.util.Env.scratchDir}/graft_events_z$tag"
+      val done = new java.io.File(
+        graft.layout.Skipping.statsPath(zdir) + "/_SUCCESS")
+      if (!done.exists()) {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hr"))
+        graft.layout.ZOrder.writeZOrdered(ev, col("hr"), col("user_id"),
+          zdir, nFiles = 32)
+        graft.layout.Skipping.writeStats(s, zdir, Seq("hr", "user_id"))
+      }
+      zdir
+    }
+
+  /** 64-tiny-file events copy, bin-packed once per sf dir (compaction's
+    * dir swap replaces the data dir, so the done marker lives BESIDE it). */
+  private def ensureCompactedEvents(s: SparkSession, dir: String): String =
+    zOrderLock.synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cdir = s"${graft.util.Env.scratchDir}/graft_events_compact$tag"
+      val done = new java.io.File(cdir + "__done")
+      if (!done.exists()) {
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(cdir))
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(cdir)
+        val bytes = graft.layout.Compact.dataFiles(cdir)
+          .map(java.nio.file.Files.size).sum
+        val r = graft.layout.Compact.compact(s, cdir, targetFileBytes = bytes / 4 + 1)
+        require(r.rewritten && r.filesAfter <= 4,
+          s"compaction ingest failed to collapse the layout: $r")
+        done.createNewFile()
+      }
+      cdir
+    }
+
   /** Orders projected to the CDC snapshot shape (money as exact cents). */
   private def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
@@ -454,6 +499,11 @@ object SparkEntry {
     // per-group top-k: rank window + filter, WindowGroupLimit bounds every
     // map task to k rows per group BEFORE the shuffle (plan-asserted)
     "q_top_orders_per_segment" -> ((s, dir) => Tpch.topOrdersPerSegment(s, dir)),
+    // dynamic partition pruning: the hot-month dim exists only at runtime
+    // (rank over a whole-table aggregate), yet the partitioned fact scan
+    // reads ONLY those months' directories — DPP plan + partitions-read
+    // metric asserted in DppSpec; ingest (partitioned layout) is prepaid
+    "q_dpp_hot_months" -> ((s, dir) => Tpch.revenueHotMonths(s, dir)),
     // ---- temporal joins (graft.temporal.TemporalJoin) ----
     // as-of join: each event picks the latest config snapshot at-or-before
     // its timestamp — broadcast variant (snapshot history is small by
@@ -606,6 +656,26 @@ object SparkEntry {
           (expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 65536).as("xa"),
           (col("user_id") % 65536).as("xb"))
       e.select(col("event_id"), graft.layout.ZOrder.zorder2(col("xa"), col("xb")))
+    }),
+    // file-level data skipping over the z-ordered layout: a 2-D box
+    // predicate opens only the files whose stats manifest box intersects
+    // (graft.layout.Skipping; ingest — z-write + manifest — runs once per
+    // sf dir, the ensureBucketedFacts pattern). The oracle is the plain
+    // full-scan filter, so the green hash proves pruning soundness on the
+    // real layout; SkippingSpec measures the effectiveness
+    "q_skipping_read" -> ((s, dir) => {
+      val zdir = ensureZOrderedEvents(s, dir)
+      graft.layout.Skipping.prunedRead(s, zdir,
+        Seq(("hr", 473400L, 473449L), ("user_id", 10L, 59L)))
+        .select(col("event_id"), col("user_id"), col("hr"))
+    }),
+    // small-file compaction (graft.layout.Compact): a 64-tiny-file events
+    // copy is bin-packed to ~4 target-sized files; the oracle is the plain
+    // table, so the green hash proves the rewrite is content-preserving.
+    // File-count/no-op/clustered-re-compaction mechanics are CompactSpec's
+    "q_compact" -> ((s, dir) => {
+      val cdir = ensureCompactedEvents(s, dir)
+      s.read.parquet(cdir).select(col("event_id"), col("user_id"))
     }),
     // cohort retention matrix: window cohort anchor + distinct-count per
     // (cohort, offset) — the retention-curve backbone (graft.agg.Retention)
@@ -1361,6 +1431,22 @@ object SparkEntry {
                AS int) AS rank_in_segment
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rank_in_segment <= 3""",
+    // the same hot-month join over the UNPARTITIONED table — proving the
+    // DPP-pruned partitioned scan loses no rows
+    "q_dpp_hot_months" ->
+      """WITH monthly AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS m,
+                  cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS rev
+           FROM orders GROUP BY 1),
+         hot AS (
+           SELECT m FROM (
+             SELECT m, row_number() OVER (ORDER BY rev DESC, m) AS rk FROM monthly)
+           WHERE rk <= 8)
+         SELECT o_orderpriority,
+           count(*) AS n_orders,
+           cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS price_cents
+         FROM orders JOIN hot ON strftime(o_orderdate, '%Y-%m') = hot.m
+         GROUP BY o_orderpriority""",
     // DuckDB's native ASOF JOIN is the independent oracle for the
     // union-window / broadcast-binary-search Spark implementations
     "q_asof_config" ->
@@ -1454,6 +1540,15 @@ object SparkEntry {
            min(epoch_us(o_orderdate)) AS min_date_us,
            max(epoch_us(o_orderdate)) AS max_date_us
          FROM orders""",
+    // the rewrite must preserve content exactly: oracle is the plain table
+    "q_compact" ->
+      "SELECT event_id, user_id FROM events",
+    // the full-scan filter the pruned read must equal row-for-row
+    "q_skipping_read" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hr
+         FROM events
+         WHERE epoch_us(ts) // 3600000000 BETWEEN 473400 AND 473449
+           AND user_id BETWEEN 10 AND 59""",
     "q_zorder" ->
       """WITH b AS (
            SELECT event_id,

@@ -1,0 +1,102 @@
+package graft.layout
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.util.Fs
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction — the lakehouse OPTIMIZE analog over plain parquet
+  * dirs, closing the layout family: [[ZOrder]] writes a clustered layout,
+  * [[Skipping]] records and exploits its per-file stats, and Compact repairs
+  * the layout after incremental appends erode it.
+  *
+  * Why it matters at 100 TB: streaming sinks and per-batch appends produce
+  * files sized by CADENCE, not by optimal scan width — a minutely micro-batch
+  * over a year is ~500 k files whose open/footer/seek overhead dominates the
+  * scan, and whose per-file stats boxes (each batch spans the full key
+  * domain) prune nothing. Compaction bin-packs them back to target-sized
+  * files; the clustered variant re-sorts so the stats boxes tighten again.
+  *
+  * Reference analog: the shipper's hour-bucket GB rotation
+  * (`/root/reference/source/sender/pool.go:71-88` caps per-object size at
+  * ship time) solves sizing for WRITE-once objects; an analytics table that
+  * is re-read forever needs the read-side repair this module provides.
+  *
+  * Mechanics (local-fs edition; on a cluster the swap is a metadata commit):
+  *   - plan:   list data files, `nOut = ceil(bytes / targetFileBytes)`;
+  *             already at or under `nOut` files → NO-OP (idempotent, cheap
+  *             to call after every append).
+  *   - rewrite: unsorted bin-pack uses `coalesce(nOut)` — NO shuffle, each
+  *             output task concatenates whole input files; clustered
+  *             compaction (`sortCols`) pays one range shuffle to restore
+  *             the [[ZOrder]]-style layout.
+  *   - swap:   write to `<dir>__compact`, rename dir aside, rename tmp in,
+  *             delete the old — readers never see a half-written dir.
+  *   - stats:  an existing [[Skipping]] manifest is rebuilt after the swap
+  *             (file identities changed, so incremental update can't help).
+  */
+object Compact {
+
+  /** What a [[compact]] call did: `rewritten=false` means the dir already
+    * met the target and was left untouched byte-for-byte. */
+  final case class CompactResult(
+      rewritten: Boolean, filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** The parquet data files of `dir` (commit markers and `_`-prefixed
+    * metadata excluded — mirroring what a path-based read would load). */
+  def dataFiles(dir: String): Seq[Path] =
+    Fs.listDir(Paths.get(dir)).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Bin-pack `dir` into `ceil(bytes / targetFileBytes)` files (≥ 1).
+    *
+    * @param sortCols  non-empty restores a clustered layout (range-partition
+    *                  + sort — e.g. the [[ZOrder.zorder2]] key to re-tighten
+    *                  2-D stats boxes); empty is pure shuffle-free bin-pack.
+    * @param statCols  non-empty (or an existing manifest at
+    *                  [[Skipping.statsPath]]) rebuilds the stats manifest
+    *                  over the new files after the swap. */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long,
+      sortCols: Seq[Column] = Nil, statCols: Seq[String] = Nil): CompactResult = {
+    require(targetFileBytes > 0, s"targetFileBytes out of range: $targetFileBytes")
+    val files = dataFiles(dir)
+    val bytes = files.map(Files.size).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val manifestCols: Seq[String] =
+      if (statCols.nonEmpty) statCols
+      else statsColsOf(spark, dir).getOrElse(Nil)
+    if (files.size <= nOut)
+      return CompactResult(rewritten = false, files.size, files.size, bytes)
+
+    val df = spark.read.parquet(dir)
+    val packed =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else df.coalesce(nOut)
+    val tmp = dir.stripSuffix("/") + "__compact"
+    packed.write.mode("overwrite").parquet(tmp)
+
+    // swap: aside-rename keeps a complete dir visible at every instant
+    val dirP = Paths.get(dir)
+    val aside = Paths.get(dir.stripSuffix("/") + "__gc")
+    Fs.deleteRecursively(aside) // debris from a crashed earlier swap
+    Files.move(dirP, aside)
+    Files.move(Paths.get(tmp), dirP)
+    Fs.deleteRecursively(aside)
+
+    if (manifestCols.nonEmpty) Skipping.writeStats(spark, dir, manifestCols)
+    CompactResult(rewritten = true, files.size, dataFiles(dir).size, bytes)
+  }
+
+  /** The columns an existing [[Skipping]] manifest at `dir` indexes (from
+    * its `min_*` schema), or None when no manifest exists. */
+  private def statsColsOf(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val p = Paths.get(Skipping.statsPath(dir))
+    if (!Files.isDirectory(p)) None
+    else Some(spark.read.parquet(p.toString).schema.fieldNames.toSeq
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") })
+  }
+}

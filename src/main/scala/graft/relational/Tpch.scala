@@ -279,6 +279,64 @@ object Tpch {
       orderCols = Seq(col("price_cents").desc, col("o_orderkey")),
       k = k, rankName = "rank_in_segment")
 
+  /** Hive-partitioned orders-by-month ingest (scratch copy, once per dir):
+    * the partition-directory layout that makes Spark's partition pruning —
+    * static AND dynamic — work. The pre-write `repartition(o_month)` gives
+    * one task per month, so each partition dir is ONE right-sized file
+    * instead of tasks×months fragments (the [[graft.layout.Compact]]
+    * small-file problem avoided at write time). `_SUCCESS` (written last by
+    * the commit protocol) is the rerun-idempotence marker. */
+  def ensurePartitionedOrders(s: SparkSession, dir: String): (String, String) = synchronized {
+    import org.apache.spark.sql.expressions.Window
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pdir = s"${graft.util.Env.scratchDir}/graft_orders_bymonth$tag"
+    val dimDir = pdir + "__dim"
+    if (!new java.io.File(s"$dimDir/_SUCCESS").exists()) {
+      t(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month"))
+        .write.partitionBy("o_month").mode("overwrite").parquet(pdir)
+      // the month DIM, maintained at ingest like any date dimension: one row
+      // per month with its aggregate attributes INCLUDING the revenue rank.
+      // Precomputing the rank here is what makes the query-side dim a tiny
+      // scan + simple filter — the shape DPP's cost model accepts and whose
+      // broadcast the pruning subquery can reuse (a dim re-derived from the
+      // fact at query time carries the fact's size estimate and an internal
+      // exchange: DPP declines both ways). Written LAST: its _SUCCESS is the
+      // rerun-idempotence marker for the pair.
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      monthly
+        .withColumn("rev_rank",
+          row_number().over(Window.orderBy(col("rev_cents").desc, col("m"))))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dimDir)
+    }
+    (pdir, dimDir)
+  }
+
+  /** Dynamic partition pruning: order stats over the top-k revenue months.
+    * The hot-month set exists only at RUNTIME (a filter on the month dim's
+    * rank attribute — no static predicate could name those partitions), yet
+    * the fact scan must not read the other ~90 % of a 100 TB table. Spark's
+    * DPP turns the broadcast dim into a partition filter on the
+    * [[ensurePartitionedOrders]] layout: the scan's `PartitionFilters` gains
+    * a `dynamicpruning` subquery reusing the join's broadcast, so only the k
+    * hot months' directories are listed and read (DppSpec asserts the plan
+    * AND the partitions-read metric == k). */
+  def revenueHotMonths(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (pdir, dimDir) = ensurePartitionedOrders(s, dir)
+    val hot = s.read.parquet(dimDir).filter(col("rev_rank") <= k).select(col("m"))
+    s.read.parquet(pdir)
+      .join(broadcast(hot), col("o_month") === col("m"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+  }
+
   /** Anti-join shape: customers with NO order above the price threshold,
     * counted by market segment. The right side is filtered before the join
     * (predicate pushdown), and LEFT ANTI ships only the join key. */
