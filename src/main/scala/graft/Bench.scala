@@ -74,7 +74,7 @@ object Bench {
     // after: a manifest read + the few intersecting files)
     "q_skipping_read")
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }

@@ -65,11 +65,13 @@ object Compact {
     val files = dataFiles(dir)
     val bytes = files.map(Files.size).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= nOut)
+      return CompactResult(rewritten = false, files.size, files.size, bytes)
+    // resolved only on the rewrite path: the advertised cheap
+    // call-after-every-append no-op must stay a pure local file listing
     val manifestCols: Seq[String] =
       if (statCols.nonEmpty) statCols
       else statsColsOf(spark, dir).getOrElse(Nil)
-    if (files.size <= nOut)
-      return CompactResult(rewritten = false, files.size, files.size, bytes)
 
     val df = spark.read.parquet(dir)
     val packed =

@@ -288,10 +288,19 @@ final class Manifest(root: String) {
     val expire = records.filter { case (id, sink, _, _) =>
       id < horizon && id != latestPerSink(sink)
     }
-    val bases = expire.foldLeft(prev.bases) {
+    // Fold in ascending batch order and skip batches at or below the sink's
+    // recorded maxBatch: a crash AFTER the durable write but BEFORE the
+    // record deletes leaves already-compacted records on disk, and the next
+    // sweep re-expires them — counting those again would inflate nBatches
+    // past the real dir count and permanently fail streamSinkAsOf's
+    // completeness check. Per-sink batch ids are monotone, so
+    // batch <= maxBatch ⇔ already compacted (this is what makes re-expiry
+    // actually idempotent, as the scaladoc promises).
+    val bases = expire.sortBy(_._3.getOrElse(-1L)).foldLeft(prev.bases) {
       case (acc, (_, sink, Some(batch), _)) =>
         val b = acc.getOrElse(sink, Retention.Base(-1L, 0L))
-        acc.updated(sink, Retention.Base(math.max(b.maxBatch, batch), b.nBatches + 1))
+        if (batch <= b.maxBatch) acc
+        else acc.updated(sink, Retention.Base(batch, b.nBatches + 1))
       case (acc, _) => acc
     }
     // durable state FIRST (atomic replace), record deletes after
@@ -342,57 +351,64 @@ final class Manifest(root: String) {
     // re-filtering of the batch plan)
     val staging = tmpDir.resolve(s"stream-batch-$batchId-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").partitionBy("sink").parquet(staging.toString)
-    val sinkDirs = graft.util.Fs.listDir(staging)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sink="))
-    // ALL sinks' stats in ONE job over the partitioned staging root (the
-    // earlier per-sink aggregates paid one driver job round-trip per sink
-    // per micro-batch — scheduling overhead dominates tiny frequent batches).
-    // The staging read pins the BATCH's schema: without it the sink partition
-    // column comes back type-INFERRED from the directory names (an
-    // all-numeric sink reads as int and getString throws).
-    val stagedStats = spark.read.schema(batch.schema).parquet(staging.toString)
-      .groupBy(col("sink"))
-      .agg(count(lit(1)).as("rows"),
-        coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
-        countDistinct(col("conv_id")).as("convs"))
-      .collect()
-      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    // sink names become partition DIRECTORY names and later sinkPath()
-    // segments, and the promote loop matches dir names back to the column
-    // values above — a null sink (__HIVE_DEFAULT_PARTITION__) or one Spark
-    // partition-escapes (space, '/', ':', '%') would break that round trip
-    // and commit a dir no reader resolves. Enforce the identifier contract
-    // up front, naming the offender, before anything is promoted.
-    stagedStats.keys.foreach { sink =>
-      require(sink != null && sink.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
-        s"sink name must be a [A-Za-z0-9_.-]+ identifier, got: ${Option(sink).getOrElse("null")}")
-    }
-    // replay recovery: sinks whose audit record already reached the log (a
-    // crash can land between a sink's move and its append — only consulted
-    // when a replay actually meets an already-promoted target)
-    lazy val alreadyLogged = streamAuditedSinks(batchId)
-    var appended = 0
-    sinkDirs.foreach { dir =>
-      val sink = dir.getFileName.toString.stripPrefix("sink=")
-      val target = Paths.get(sinkPath(sink), s"batch=$batchId")
-      val promoted =
-        if (!Files.exists(target)) {
-          Files.createDirectories(target.getParent)
-          Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
-          true
-        } else false // replay — already promoted by a previous attempt
-      // audit record appended immediately after THIS sink's promotion (not
-      // after all of them), and re-appended on replay if the previous attempt
-      // died in the move→append window; foreachBatch replays a batch with
-      // identical content, so the staged stats equal the promoted dir's
-      if (promoted || !alreadyLogged(sink)) {
-        val (rows, bytes, convs) = stagedStats(sink)
-        appendSnapshot(sid => streamSnapshotRecord(sid, sink, batchId, rows, bytes, convs))
-        appended += 1
+    // the staged copy must not outlive this attempt: a failure below (bad
+    // sink name, stats job, promote) is retried by foreachBatch with a FRESH
+    // staging UUID, so a leaked dir is one full batch copy per retry until
+    // the volume fills — hence the try/finally around the promote phase
+    def promoteStaged(): Int = {
+      val sinkDirs = graft.util.Fs.listDir(staging)
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sink="))
+      // ALL sinks' stats in ONE job over the partitioned staging root (the
+      // earlier per-sink aggregates paid one driver job round-trip per sink
+      // per micro-batch — scheduling overhead dominates tiny frequent batches).
+      // The staging read pins the BATCH's schema: without it the sink partition
+      // column comes back type-INFERRED from the directory names (an
+      // all-numeric sink reads as int and getString throws).
+      val stagedStats = spark.read.schema(batch.schema).parquet(staging.toString)
+        .groupBy(col("sink"))
+        .agg(count(lit(1)).as("rows"),
+          coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"),
+          countDistinct(col("conv_id")).as("convs"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // sink names become partition DIRECTORY names and later sinkPath()
+      // segments, and the promote loop matches dir names back to the column
+      // values above — a null sink (__HIVE_DEFAULT_PARTITION__) or one Spark
+      // partition-escapes (space, '/', ':', '%') would break that round trip
+      // and commit a dir no reader resolves. Enforce the identifier contract
+      // up front, naming the offender, before anything is promoted.
+      stagedStats.keys.foreach { sink =>
+        require(sink != null && sink.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+          s"sink name must be a [A-Za-z0-9_.-]+ identifier, got: ${Option(sink).getOrElse("null")}")
       }
+      // replay recovery: sinks whose audit record already reached the log (a
+      // crash can land between a sink's move and its append — only consulted
+      // when a replay actually meets an already-promoted target)
+      lazy val alreadyLogged = streamAuditedSinks(batchId)
+      var appended = 0
+      sinkDirs.foreach { dir =>
+        val sink = dir.getFileName.toString.stripPrefix("sink=")
+        val target = Paths.get(sinkPath(sink), s"batch=$batchId")
+        val promoted =
+          if (!Files.exists(target)) {
+            Files.createDirectories(target.getParent)
+            Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
+            true
+          } else false // replay — already promoted by a previous attempt
+        // audit record appended immediately after THIS sink's promotion (not
+        // after all of them), and re-appended on replay if the previous attempt
+        // died in the move→append window; foreachBatch replays a batch with
+        // identical content, so the staged stats equal the promoted dir's
+        if (promoted || !alreadyLogged(sink)) {
+          val (rows, bytes, convs) = stagedStats(sink)
+          appendSnapshot(sid => streamSnapshotRecord(sid, sink, batchId, rows, bytes, convs))
+          appended += 1
+        }
+      }
+      appended
     }
-    deleteRecursively(staging)
+    val appended = try promoteStaged() finally deleteRecursively(staging)
     val tmpMarker = tmpDir.resolve(s"_stream_batch_$batchId-${java.util.UUID.randomUUID()}.json")
     Files.writeString(tmpMarker,
       s"""{"batch_id":$batchId,"sinks":$appended,""" +

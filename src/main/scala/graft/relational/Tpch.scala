@@ -194,28 +194,46 @@ object Tpch {
   // most of the bucketed join's win). One clone per parent session is kept
   // warm and invalidated whenever any bucketed table is (re)written (the
   // epoch — a stale relation cache after an overwrite would read dead
-  // files). WeakHashMap: a dropped parent session must not be pinned.
+  // files). The clone is held through a SoftReference: Spark's cloneSession
+  // gives the clone a SessionState that strongly references the PARENT, so
+  // a strong map value would keep the WeakHashMap key reachable forever (a
+  // dropped parent session plus two SessionStates leaked per session). With
+  // the soft value the chain survives routine GC (the cache stays warm) but
+  // is reclaimed under memory pressure — a cleared entry just rebuilds the
+  // clone on the next call.
   private var bucketWriteEpoch = 0L
-  private val bucketedClones =
-    new java.util.WeakHashMap[SparkSession, (SparkSession, Long)]
+  private final class CloneEntry(
+      val ref: java.lang.ref.SoftReference[SparkSession],
+      val epoch: Long,
+      var syncedKeys: Set[String])
+  private val bucketedClones = new java.util.WeakHashMap[SparkSession, CloneEntry]
 
-  private def scopedBucketedSession(s0: SparkSession): SparkSession = {
-    val s = synchronized {
-      bucketedClones.get(s0) match {
-        case (c, e) if e == bucketWriteEpoch => c
-        case _ =>
-          val c = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
-          bucketedClones.put(s0, (c, bucketWriteEpoch))
-          c
+  private def scopedBucketedSession(s0: SparkSession): SparkSession = synchronized {
+    val cached = bucketedClones.get(s0)
+    val entry = Option(cached)
+      .filter(e => e.epoch == bucketWriteEpoch && e.ref.get() != null)
+      .getOrElse {
+        val c = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
+        val e = new CloneEntry(
+          new java.lang.ref.SoftReference(c), bucketWriteEpoch, Set.empty)
+        bucketedClones.put(s0, e)
+        e
       }
-    }
+    val s = entry.ref.get()
     // the clone must track the CALLER'S current planner conf (AQE toggles in
-    // plan tests, thresholds in bench sessions) — re-sync the modifiable
-    // entries on every call, then apply the one scoped flag
-    s0.conf.getAll.foreach { case (k, v) =>
-      if (s.conf.isModifiable(k) && !s.conf.getOption(k).contains(v))
-        s.conf.set(k, v)
-    }
+    // plan tests, thresholds in bench sessions) — re-sync on every call:
+    // keys the caller UNSET since the last sync are unset on the clone too
+    // (getAll only lists explicitly-set entries, so a set-then-unset key
+    // would otherwise stay live on the clone and silently shape every later
+    // plan), then current entries are copied, then the one scoped flag
+    val cur = s0.conf.getAll
+    (entry.syncedKeys -- cur.keySet).foreach(s.conf.unset)
+    val synced = cur.collect {
+      case (k, v) if s.conf.isModifiable(k) =>
+        if (!s.conf.getOption(k).contains(v)) s.conf.set(k, v)
+        k
+    }.toSet
+    entry.syncedKeys = synced
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s
   }

@@ -158,7 +158,7 @@ object TemporalJoin {
     val pts = points.withColumn("__bkt", expr(s"$pointTs div ${bucketWidth}L"))
     val ivs = intervals
       .filter(col(endTs) >= col(startTs))
-      .withColumn("__bkt", explode(guardedBuckets(
+      .withColumn("__bkt", explode(guardedBuckets("rangeJoin",
         keys, startTs, endTs, bucketWidth, maxBucketsPerInterval)))
     pts.join(ivs, (keys :+ "__bkt").toSeq)
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
@@ -194,7 +194,7 @@ object TemporalJoin {
       s"maxBucketsPerInterval out of range: $maxBucketsPerInterval")
     def explodeSide(df: DataFrame, start: String, end: String) = df
       .filter(col(end) >= col(start))
-      .withColumn("__bkt", explode(guardedBuckets(
+      .withColumn("__bkt", explode(guardedBuckets("overlapJoin",
         keys, start, end, bucketWidth, maxBucketsPerInterval)))
     explodeSide(left, lStart, lEnd)
       .join(explodeSide(right, rStart, rEnd), (keys :+ "__bkt").toSeq)
@@ -209,12 +209,12 @@ object TemporalJoin {
     * fast in-task failure naming the row when it would exceed `cap` buckets
     * (the count is checked with integer arithmetic BEFORE `sequence()`
     * materializes anything). */
-  private def guardedBuckets(keys: Seq[String], startTs: String, endTs: String,
-      bucketWidth: Long, cap: Long): Column = {
+  private def guardedBuckets(op: String, keys: Seq[String], startTs: String,
+      endTs: String, bucketWidth: Long, cap: Long): Column = {
     val lo = expr(s"$startTs div ${bucketWidth}L")
     val hi = expr(s"$endTs div ${bucketWidth}L")
     val msg = concat(
-      lit(s"rangeJoin: interval covers more than $cap buckets of width " +
+      lit(s"$op: interval covers more than $cap buckets of width " +
         s"$bucketWidth (key="),
       concat_ws(",", keys.map(k => col(k).cast("string")): _*),
       lit(s", $startTs="), col(startTs).cast("string"),

@@ -26,7 +26,9 @@ object QTime {
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val med = runs.sorted.apply(runs.length / 2)
+      // Bench's median (even rep counts average the middle two) — a QTime
+      // re-baseline must report the same statistic as the headline it A/Bs
+      val med = graft.Bench.median(runs)
       println(f"QTIME $name median=$med%.2f min=${runs.min}%.2f " +
         runs.map(r => f"$r%.2f").mkString("runs=[", ",", "]"))
     }

@@ -333,6 +333,56 @@ class ManifestSpec extends SparkSpec {
     assert(e2.getMessage.contains("partial data"))
   }
 
+  test("crash-recovery re-sweep never double-counts compacted batches into the base") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ret3").toString
+    val m = new Manifest(out)
+    def batch(ids: Seq[Int]) = ids
+      .map(i => (s"conv-0000$i", i, "user", s"text $i", "t", new java.sql.Timestamp(i * 1000L), "s1"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    (0 until 5).foreach(i => m.commitStreamBatch(batch(Seq(i + 1)), i.toLong))
+    // simulate "crash AFTER the durable _retention.json write, BEFORE the
+    // record deletes": snapshot record files survive the sweep
+    val snapDir = java.nio.file.Paths.get(out, "_snapshots")
+    val saved = graft.util.Fs.listDir(snapDir)
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .map(p => p.getFileName.toString -> Files.readString(p))
+    assert(m.expireSnapshots(keepLast = 2) === Seq(1L, 2L, 3L))
+    val base0 = m.retention().bases("s1")
+    assert(base0 === Manifest.Retention.Base(2L, 3L))
+    saved.foreach { case (name, body) =>
+      val p = snapDir.resolve(name)
+      if (!Files.exists(p)) Files.writeString(p, body)
+    }
+    // the recovery sweep re-expires the restored records — the base must be
+    // UNCHANGED (batches <= maxBatch are already compacted), or every pinned
+    // read for the sink fails its completeness check forever
+    assert(m.expireSnapshots(keepLast = 2) === Seq(1L, 2L, 3L))
+    assert(m.retention().bases("s1") === base0,
+      "re-expiring already-compacted records must not inflate nBatches")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      if (df.columns.isEmpty) Set.empty
+      else df.select("turn_idx").collect().map(_.getInt(0)).toSet
+    assert(ids(m.streamSinkAsOf(spark, "s1", 5L)) === Set(1, 2, 3, 4, 5))
+  }
+
+  test("a failed stream commit leaves no staged batch copy behind") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-leak").toString
+    val m = new Manifest(out)
+    val bad = Seq(("conv-1", 1, "user", "t", "t", new java.sql.Timestamp(1000L), "bad sink"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "sink")
+    (1 to 3).foreach { i => // every foreachBatch retry stages a fresh UUID copy
+      intercept[IllegalArgumentException] { m.commitStreamBatch(bad, i.toLong) }
+    }
+    val tmp = java.nio.file.Paths.get(out, "_tmp")
+    val leaked =
+      if (!Files.isDirectory(tmp)) Seq.empty
+      else graft.util.Fs.listDir(tmp)
+        .filter(_.getFileName.toString.startsWith("stream-batch-"))
+    assert(leaked.isEmpty, s"staged copies must not outlive a failed commit: $leaked")
+  }
+
   test("retention sweep never expires a sink's most-recent record (live-data provenance)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-ret2").toString

@@ -170,6 +170,19 @@ class TemporalJoinSpec extends SparkSpec {
     assert(ok.select("win_id").collect().map(_.getLong(0)).toSet === Set(100L, 666L))
   }
 
+  test("overlapJoin's circuit breaker names overlapJoin, not rangeJoin") {
+    val l = Seq(("a", 0L, 253402300799000000L, 1L)).toDF("k", "l_start", "l_end", "lid")
+    val r = Seq(("a", 5L, 9L, 2L)).toDF("k", "r_start", "r_end", "rid")
+    val e = intercept[Exception] {
+      TemporalJoin.overlapJoin(l, r, Seq("k"),
+        "l_start", "l_end", "r_start", "r_end", bucketWidth = 10L).count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("overlapJoin") && !msg.contains("rangeJoin"),
+      s"the breaker must point the user at the operator they actually called: $msg")
+  }
+
   test("overlapJoin: closed-interval overlap, touching endpoints, exactly-once pairs, " +
       "degenerate intervals dropped") {
     val l = Seq(

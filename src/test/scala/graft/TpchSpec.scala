@@ -182,6 +182,30 @@ class TpchSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
   }
 
+  test("the cached clone drops a conf the caller set and later UNSET") {
+    // set → query → unset → query: the second plan must see the caller's
+    // CURRENT state (key absent ⇒ default), not the stale synced value — a
+    // lingering autoBroadcastJoinThreshold=-1 would silently disable every
+    // later broadcast in the bucketed query
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan asserts
+    try {
+      assert(spark.conf.getOption(key).isEmpty || spark.conf.get(key) != "-1")
+      spark.conf.set(key, "-1")
+      val noBhj = Tpch.revenueByPriorityBucketed(spark, sfDir)
+      assert(!noBhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "with the threshold off, customer must not broadcast (sanity of the probe)")
+      spark.conf.unset(key)
+      val withBhj = Tpch.revenueByPriorityBucketed(spark, sfDir)
+      assert(withBhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "after the caller unsets the threshold, the clone must return to the " +
+          "default (broadcast the small dim) instead of keeping the stale -1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+  }
+
   test("AQE splits the skewed fact join (skew=true in the final plan)") {
     // ~1/3 of lineitem remapped onto ONE hot orderkey — the hot partition is
     // many × the others. Thresholds lowered so the 60k-row fixture crosses
