@@ -575,6 +575,39 @@ object SparkEntry {
       graft.temporal.Sweep.activeIntervals(spans, "span_start", "span_end",
         bucketWidth = 3600000000L, blockBuckets = 64)
     }),
+    // time-series resample + fill-forward: each user's irregular event
+    // stream onto a fixed 6 h grid, every grid point carrying the latest
+    // observation at-or-before it (graft.temporal.Series — grid explode
+    // guarded per key, fill via the as-of union form's ONE key shuffle);
+    // oracle is DuckDB generate_series + native ASOF JOIN, a genuinely
+    // independent formulation of both halves
+    "q_resample" -> ((s, dir) => {
+      val obs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_id").as("src_event_id"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      graft.temporal.Series.fillForward(obs, Seq("user_id"), "ts_us",
+        stepUs = 21600000000L)
+    }),
+    // monotone-counter increase with reset detection (the Prometheus
+    // increase() primitive over the reference's bucket-counter shape): a
+    // deterministic counter with resets is synthesized per user (row_number
+    // % 7), the operator recovers per-interval growth crediting post-reset
+    // climbs (graft.temporal.Series.counterIncrease — ONE window per key);
+    // oracle recomputes with DuckDB's own window stack
+    "q_counter_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .withColumn("counter",
+          (row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_us"))) % 7)
+            .cast("long"))
+      graft.temporal.Series.counterIncrease(evs, Seq("user_id"), "ts_us", "counter")
+        .select(col("user_id"), col("event_id"), col("counter"), col("increase"))
+    }),
     // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
     // WindowGroupLimit-bounded rank, one anti-join + union — the nightly
     // snapshot-maintenance job (graft.cdc.Cdc); changelog derived
@@ -1528,6 +1561,40 @@ object SparkEntry {
          SELECT bkt * 3600000000 AS bucket_start,
            cast(sum(d) OVER (ORDER BY bkt) AS bigint) AS active
          FROM agg""",
+    // independent formulation of BOTH halves: the grid via generate_series,
+    // the fill via DuckDB's native ASOF JOIN
+    "q_resample" ->
+      """WITH obs AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id AS src_event_id,
+                  cast(floor(value * 100) AS bigint) AS value_cents
+           FROM events),
+         bounds AS (
+           SELECT user_id,
+                  (min(ts_us) + 21600000000 - 1) // 21600000000 AS lo,
+                  max(ts_us) // 21600000000 AS hi
+           FROM obs GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(lo, hi)) * 21600000000 AS grid_us
+           FROM bounds WHERE hi >= lo)
+         SELECT g.user_id, g.grid_us, o.src_event_id, o.value_cents
+         FROM grid g ASOF JOIN obs o
+           ON g.user_id = o.user_id AND g.grid_us >= o.ts_us""",
+    // DuckDB's own window stack recomputes the synthetic counter AND the
+    // reset-aware increase
+    "q_counter_rate" ->
+      """WITH c AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) % 7 AS counter
+           FROM events),
+         d AS (
+           SELECT user_id, event_id, counter,
+                  lag(counter) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+           FROM c)
+         SELECT user_id, event_id, counter,
+                CASE WHEN prev IS NULL THEN NULL
+                     WHEN counter >= prev THEN counter - prev
+                     ELSE counter END AS increase
+         FROM d""",
     "q_profile" ->
       """SELECT count(*) AS n_rows,
            count(DISTINCT o_custkey) AS n_custkeys,

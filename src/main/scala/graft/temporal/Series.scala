@@ -1,0 +1,76 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series toolkit over irregular event streams — the metrics-side
+  * siblings of the temporal joins: resampling an irregular series onto a
+  * fixed grid with as-of fill-forward (downsampling for dashboards /
+  * training windows), and monotone-counter increase with reset detection
+  * (the Prometheus `increase()`/`rate()` primitive, reference-adjacent: a
+  * log shipper's bucket counters are exactly such counters, see
+  * `/root/reference/source/limiter/limiter.go`'s per-bucket tallies).
+  *
+  * Scale shapes: the grid is 2 agg rows per key exploded to slots (guarded
+  * by `maxSlotsPerKey`, same circuit-breaker discipline as
+  * [[TemporalJoin.rangeJoin]] — a sentinel timestamp fails fast naming the
+  * key, it never materializes a billion slots); the fill is
+  * [[TemporalJoin.asofJoin]]'s union form — ONE key shuffle regardless of
+  * how many grid points land on one hot key; the counter increase is ONE
+  * window per key partition. */
+object Series {
+
+  /** Dense per-key slot grid: one row per `stepUs`-wide slot from the key's
+    * first observation (ceil) to its last (floor), as `grid_us` epoch-μs.
+    * Keys active for less than one full slot produce no rows. */
+  def grid(obs: DataFrame, keys: Seq[String], tsUsCol: String, stepUs: Long,
+      maxSlotsPerKey: Long = 1L << 20): DataFrame = {
+    require(stepUs > 0, s"stepUs out of range: $stepUs")
+    require(maxSlotsPerKey > 0, s"maxSlotsPerKey out of range: $maxSlotsPerKey")
+    val lo = expr(s"(min($tsUsCol) + ${stepUs}L - 1L) div ${stepUs}L")
+    val hi = expr(s"max($tsUsCol) div ${stepUs}L")
+    val msg = concat(
+      lit(s"Series.grid: key spans more than $maxSlotsPerKey slots of " +
+        s"$stepUs μs (key="),
+      concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+      lit(") — raise stepUs or clean the outlier timestamps"))
+    obs.groupBy(keys.map(col): _*)
+      .agg(lo.as("__lo"), hi.as("__hi"))
+      .withColumn("__slots",
+        when(col("__hi") < col("__lo"), array().cast("array<long>"))
+          .when(col("__hi") - col("__lo") < maxSlotsPerKey,
+            sequence(col("__lo"), col("__hi")))
+          .otherwise(raise_error(msg).cast("array<long>")))
+      .select(keys.map(col) :+ explode(col("__slots")).as("__slot"): _*)
+      .select(keys.map(col) :+ (col("__slot") * stepUs).as("grid_us"): _*)
+  }
+
+  /** Resample an irregular series onto the fixed grid, each grid point
+    * carrying the latest observation at-or-before it (fill-forward). Output:
+    * `keys`, `grid_us`, and every non-key/non-ts column of `obs` filled
+    * as-of. By construction the grid starts at each key's first observation,
+    * so every point has a fill. */
+  def fillForward(obs: DataFrame, keys: Seq[String], tsUsCol: String,
+      stepUs: Long, maxSlotsPerKey: Long = 1L << 20): DataFrame =
+    TemporalJoin.asofJoin(
+      grid(obs, keys, tsUsCol, stepUs, maxSlotsPerKey),
+      obs, keys, probeTs = "grid_us", buildTs = tsUsCol)
+
+  /** Monotone-counter increase with reset detection: per consecutive sample
+    * pair (ordered by `tsCol` within `keys`), the counter's growth — or,
+    * when the counter went BACKWARD (a process restart reset it to zero),
+    * the new value itself, crediting the post-reset climb and dropping
+    * whatever growth the crash window lost (the Prometheus convention; an
+    * under-count, never an over-count). The first sample of a key has no
+    * interval: null. Adds `increase` to `df`. */
+  def counterIncrease(df: DataFrame, keys: Seq[String], tsCol: String,
+      counterCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prev = lag(col(counterCol), 1).over(w)
+    df.withColumn("increase",
+      when(prev.isNull, lit(null))
+        .when(col(counterCol) >= prev, col(counterCol) - prev)
+        .otherwise(col(counterCol)))
+  }
+}
