@@ -158,5 +158,18 @@ object GraftTableFunctions {
         strArg(args(1), "startCol"), strArg(args(2), "endCol"),
         longArg(args(3), "bucketWidth"),
         optLongArg(args, 4, "blockBuckets").getOrElse(4096L).toInt))
+    },
+    // fill_forward(obs, keys, tsUsCol, stepUs [, maxSlotsPerKey])
+    fn("fill_forward") { args =>
+      plan(graft.temporal.Series.fillForward(
+        view(strArg(args(0), "obs")), keys(strArg(args(1), "keys")),
+        strArg(args(2), "tsUsCol"), longArg(args(3), "stepUs"),
+        optLongArg(args, 4, "maxSlotsPerKey").getOrElse(1L << 20)))
+    },
+    // counter_increase(samples, keys, tsCol, counterCol)
+    fn("counter_increase") { args =>
+      plan(graft.temporal.Series.counterIncrease(
+        view(strArg(args(0), "samples")), keys(strArg(args(1), "keys")),
+        strArg(args(2), "tsCol"), strArg(args(3), "counterCol")))
     })
 }

@@ -157,6 +157,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 2L, 10L -> 3L, 20L -> 2L, 30L -> 1L, 40L -> 0L))
   }
 
+  test("fill_forward / counter_increase from SQL match the Column API") {
+    import spark.implicits._
+    Seq(("a", 100L, 10L), ("a", 250L, 20L), ("a", 300L, 30L))
+      .toDF("k", "ts_us", "v").createOrReplaceTempView("tvf_obs")
+    val got = spark.sql(
+      "SELECT * FROM fill_forward('tvf_obs', 'k', 'ts_us', 100)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq(("a", 100L, 10L), ("a", 200L, 10L), ("a", 300L, 30L)))
+
+    Seq(("a", 1L, 5L), ("a", 2L, 9L), ("a", 3L, 2L))
+      .toDF("k", "ts", "c").createOrReplaceTempView("tvf_counter")
+    val inc = spark.sql(
+      "SELECT ts, increase FROM counter_increase('tvf_counter', 'k', 'ts', 'c')")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(inc === Map(1L -> None, 2L -> Some(4L), 3L -> Some(2L)))
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {

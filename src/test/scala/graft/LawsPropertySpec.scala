@@ -143,6 +143,52 @@ class LawsPropertySpec extends SparkSpec {
     }
   }
 
+  test("law: fillForward == per-point latest-at-or-before reference, random series and steps") {
+    for (seed <- 1L to 5L; step <- Seq(1L, 7L, 50L)) {
+      // unique (k, ts) per the as-of contract
+      val obs = sample(intervalsGen, seed)
+        .map { case (k, s, _) => (k, s) }.distinct.zipWithIndex
+        .map { case ((k, s), i) => (k, s, i.toLong) }
+      if (obs.nonEmpty) {
+        val got = graft.temporal.Series.fillForward(
+          obs.toDF("k", "ts_us", "v"), Seq("k"), "ts_us", step)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        val model = (for {
+          (k, ks) <- obs.groupBy(_._1).toSeq
+          lo = (ks.map(_._2).min + step - 1) / step
+          hi = ks.map(_._2).max / step
+          slot <- lo to hi
+          ts = slot * step
+        } yield (k, ts, ks.filter(_._2 <= ts).maxBy(_._2)._3)).sorted
+        assert(got === model, s"seed $seed step $step")
+      }
+    }
+  }
+
+  test("law: counterIncrease == pairwise reference on random counter walks") {
+    val walkGen: Gen[List[(String, Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        c <- Gen.choose(0L, 9L)
+      } yield (k, c))
+    } yield rows.zipWithIndex.map { case ((k, c), i) => (k, i.toLong, c) }
+    for (seed <- 1L to 5L) {
+      val rows = sample(walkGen, seed)
+      val got = graft.temporal.Series.counterIncrease(
+        rows.toDF("k", "ts", "c"), Seq("k"), "ts", "c")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).sorted.toSeq
+      val model = rows.groupBy(_._1).toSeq.flatMap { case (_, ks) =>
+        val s = ks.sortBy(_._2)
+        s.zip(None +: s.map(x => Some(x._3))).map { case ((k, t, c), prev) =>
+          (k, t, prev.map(p => if (c >= p) c - p else c))
+        }
+      }.sorted
+      assert(got === model, s"seed $seed")
+    }
+  }
+
   test("law: union-window and broadcast-search as-of forms agree on random data") {
     for (seed <- 1L to 5L; staleness <- Seq(None, Some(30L))) {
       val probe = sample(intervalsGen, seed).zipWithIndex
