@@ -166,10 +166,11 @@ object GraftTableFunctions {
         strArg(args(2), "tsUsCol"), longArg(args(3), "stepUs"),
         optLongArg(args, 4, "maxSlotsPerKey").getOrElse(1L << 20)))
     },
-    // counter_increase(samples, keys, tsCol, counterCol)
+    // counter_increase(samples, keys, tsCol, counterCol [, tieBreak])
     fn("counter_increase") { args =>
       plan(graft.temporal.Series.counterIncrease(
         view(strArg(args(0), "samples")), keys(strArg(args(1), "keys")),
-        strArg(args(2), "tsCol"), strArg(args(3), "counterCol")))
+        strArg(args(2), "tsCol"), strArg(args(3), "counterCol"),
+        if (args.length > 4) keys(strArg(args(4), "tieBreak")) else Nil))
     })
 }

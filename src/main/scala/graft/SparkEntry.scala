@@ -602,10 +602,14 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"))
         .withColumn("counter",
-          (row_number().over(
-            Window.partitionBy(col("user_id")).orderBy(col("ts_us"))) % 7)
+          (row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us"), col("event_id"))) % 7)
             .cast("long"))
-      graft.temporal.Series.counterIncrease(evs, Seq("user_id"), "ts_us", "counter")
+      // event_id tie-breaks both windows (repo convention): no fixture has a
+      // tied (user_id, ts) today, but the compared output must stay
+      // deterministic if one ever does
+      graft.temporal.Series.counterIncrease(evs, Seq("user_id"), "ts_us", "counter",
+          tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("counter"), col("increase"))
     }),
     // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
@@ -1584,11 +1588,13 @@ object SparkEntry {
     "q_counter_rate" ->
       """WITH c AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) % 7 AS counter
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) % 7 AS counter
            FROM events),
          d AS (
            SELECT user_id, event_id, counter,
-                  lag(counter) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+                  lag(counter) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS prev
            FROM c)
          SELECT user_id, event_id, counter,
                 CASE WHEN prev IS NULL THEN NULL

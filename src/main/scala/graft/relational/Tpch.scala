@@ -209,17 +209,19 @@ object Tpch {
   private val bucketedClones = new java.util.WeakHashMap[SparkSession, CloneEntry]
 
   private def scopedBucketedSession(s0: SparkSession): SparkSession = synchronized {
-    val cached = bucketedClones.get(s0)
-    val entry = Option(cached)
-      .filter(e => e.epoch == bucketWriteEpoch && e.ref.get() != null)
-      .getOrElse {
-        val c = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
-        val e = new CloneEntry(
-          new java.lang.ref.SoftReference(c), bucketWriteEpoch, Set.empty)
-        bucketedClones.put(s0, e)
-        e
-      }
-    val s = entry.ref.get()
+    // hold the referent STRONGLY before any use: a soft ref can be cleared
+    // between a null check and a later get(), so the session is pulled out
+    // exactly once per branch and carried in locals from there on
+    val cachedSession = Option(bucketedClones.get(s0))
+      .filter(_.epoch == bucketWriteEpoch)
+      .flatMap(e => Option(e.ref.get()).map(e -> _))
+    val (entry, s) = cachedSession.getOrElse {
+      val c = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
+      val e = new CloneEntry(
+        new java.lang.ref.SoftReference(c), bucketWriteEpoch, Set.empty)
+      bucketedClones.put(s0, e)
+      (e, c)
+    }
     // the clone must track the CALLER'S current planner conf (AQE toggles in
     // plan tests, thresholds in bench sessions) — re-sync on every call:
     // keys the caller UNSET since the last sync are unset on the clone too

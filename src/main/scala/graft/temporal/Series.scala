@@ -23,25 +23,34 @@ object Series {
 
   /** Dense per-key slot grid: one row per `stepUs`-wide slot from the key's
     * first observation (ceil) to its last (floor), as `grid_us` epoch-μs.
-    * Keys active for less than one full slot produce no rows. */
+    * Keys active for less than one full slot produce no rows. Timestamps
+    * must be NON-NEGATIVE — the ceil/floor slot arithmetic relies on `div`
+    * truncation being floor division, which holds only for non-negative
+    * operands (same contract as [[TemporalJoin.rangeJoin]]'s bucketing);
+    * unlike there, a violation here would produce a silently wrong grid, so
+    * a negative timestamp fails fast naming the key. */
   def grid(obs: DataFrame, keys: Seq[String], tsUsCol: String, stepUs: Long,
       maxSlotsPerKey: Long = 1L << 20): DataFrame = {
     require(stepUs > 0, s"stepUs out of range: $stepUs")
     require(maxSlotsPerKey > 0, s"maxSlotsPerKey out of range: $maxSlotsPerKey")
     val lo = expr(s"(min($tsUsCol) + ${stepUs}L - 1L) div ${stepUs}L")
     val hi = expr(s"max($tsUsCol) div ${stepUs}L")
-    val msg = concat(
-      lit(s"Series.grid: key spans more than $maxSlotsPerKey slots of " +
-        s"$stepUs μs (key="),
+    def keyMsg(what: String) = concat(
+      lit(s"Series.grid: $what (key="),
       concat_ws(",", keys.map(k => col(k).cast("string")): _*),
-      lit(") — raise stepUs or clean the outlier timestamps"))
+      lit(")"))
     obs.groupBy(keys.map(col): _*)
-      .agg(lo.as("__lo"), hi.as("__hi"))
+      .agg(lo.as("__lo"), hi.as("__hi"), min(col(tsUsCol)).as("__min_ts"))
       .withColumn("__slots",
-        when(col("__hi") < col("__lo"), array().cast("array<long>"))
+        when(col("__min_ts") < 0, raise_error(keyMsg(
+          "negative timestamps break the ceil/floor slot arithmetic — shift the epoch"))
+          .cast("array<long>"))
+          .when(col("__hi") < col("__lo"), array().cast("array<long>"))
           .when(col("__hi") - col("__lo") < maxSlotsPerKey,
             sequence(col("__lo"), col("__hi")))
-          .otherwise(raise_error(msg).cast("array<long>")))
+          .otherwise(raise_error(keyMsg(
+            s"key spans more than $maxSlotsPerKey slots of $stepUs μs — " +
+              "raise stepUs or clean the outlier timestamps")).cast("array<long>")))
       .select(keys.map(col) :+ explode(col("__slots")).as("__slot"): _*)
       .select(keys.map(col) :+ (col("__slot") * stepUs).as("grid_us"): _*)
   }
@@ -63,10 +72,17 @@ object Series {
     * the new value itself, crediting the post-reset climb and dropping
     * whatever growth the crash window lost (the Prometheus convention; an
     * under-count, never an over-count). The first sample of a key has no
-    * interval: null. Adds `increase` to `df`. */
+    * interval: null. Adds `increase` to `df`.
+    *
+    * `tsCol` (plus `tieBreak`, in order) must TOTALLY order each key's
+    * samples — with a tie, `lag` reads whichever neighbor the partition
+    * sort happened to place first and `increase` becomes
+    * nondeterministic. Pass the natural unique id as `tieBreak` when
+    * timestamps can collide. */
   def counterIncrease(df: DataFrame, keys: Seq[String], tsCol: String,
-      counterCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      counterCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
     val prev = lag(col(counterCol), 1).over(w)
     df.withColumn("increase",
       when(prev.isNull, lit(null))

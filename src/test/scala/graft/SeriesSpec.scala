@@ -33,6 +33,19 @@ class SeriesSpec extends SparkSpec {
     assert(msg.contains("Series.grid") && msg.contains("key=evil"), msg)
   }
 
+  test("grid: a negative (pre-1970) timestamp fails fast instead of a silently wrong grid") {
+    // div truncates toward zero, so ceil/floor slot math is only floor
+    // division for non-negative operands — a negative min would drop valid
+    // slots or emit points after the key's last observation
+    val obs = Seq(("ok", 100L), ("bad", -5000000L), ("bad", 100L)).toDF("k", "ts_us")
+    val e = intercept[Exception] {
+      Series.grid(obs, Seq("k"), "ts_us", stepUs = 100L).count()
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("negative timestamps") && msg.contains("key=bad"), msg)
+  }
+
   test("fillForward equals the brute-force latest-at-or-before at every grid point") {
     val obs = Seq(
       ("a", 100L, 10L), ("a", 250L, 20L), ("a", 300L, 30L), ("a", 999L, 40L),

@@ -189,9 +189,10 @@ class TpchSpec extends SparkSpec {
     // later broadcast in the bucketed query
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThr = spark.conf.getOption(key)
     spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan asserts
     try {
-      assert(spark.conf.getOption(key).isEmpty || spark.conf.get(key) != "-1")
+      assert(prevThr.isEmpty || prevThr.get != "-1")
       spark.conf.set(key, "-1")
       val noBhj = Tpch.revenueByPriorityBucketed(spark, sfDir)
       assert(!noBhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
@@ -201,9 +202,17 @@ class TpchSpec extends SparkSpec {
       assert(withBhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
         "after the caller unsets the threshold, the clone must return to the " +
           "default (broadcast the small dim) instead of keeping the stale -1")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
-    spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    } finally {
+      // a failed assert must not leak -1 (or drop the tables cleanup) into
+      // the suite-shared session
+      prevThr match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    }
   }
 
   test("AQE splits the skewed fact join (skew=true in the final plan)") {
