@@ -72,7 +72,10 @@ object Bench {
     // z-ordered layout (ingest, like bucketing, is prepaid in the phase-3
     // warm-up; the timed reps measure what a point/box query costs forever
     // after: a manifest read + the few intersecting files)
-    "q_skipping_read")
+    "q_skipping_read",
+    // round-6: dynamic partition pruning — the runtime hot-month dim prunes
+    // the partitioned fact scan to k of ~80 month dirs (ingest prepaid)
+    "q_dpp_hot_months")
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -271,6 +274,8 @@ object Bench {
       graft.relational.Tpch.ensureBucketedFacts(spark, sfDir)
       // same prepaid-ingest rule for the z-ordered + stats-manifest layout
       SparkEntry.ensureZOrderedEvents(spark, sfDir)
+      // ...and for the hive-partitioned orders + month dim (DPP)
+      graft.relational.Tpch.ensurePartitionedOrders(spark, sfDir)
       def once(name: String): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
