@@ -50,4 +50,46 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** MONOTONE rank normalization of a skewed or wide `column` onto
+    * [0, buckets): the [[zorder2]] dimension prep for real domains.
+    *
+    * `zorder2` takes a value's LOW 16 BITS, so a column wider than 2^16 fed
+    * raw (or through `% 65536`) scrambles value order — files stop covering
+    * contiguous value ranges and RANGE predicates prune nothing, which
+    * silently defeats the whole layout on exactly the columns (ids, bytes,
+    * prices, long timestamps) that need it at 100 TB. Rank bucketing maps a
+    * value to how many approximate-quantile boundaries lie at-or-below it —
+    * order-PRESERVING, so per-file raw min/max stats stay tight and
+    * [[Skipping]]'s range pruning keeps working on the original column —
+    * and rank-uniform, so buckets (hence files) get even row counts no
+    * matter how skewed the values.
+    *
+    * Mechanics: `buckets-1` quantile boundaries (one driver-side
+    * `approxQuantile` pass; at production scale compute them on a sample —
+    * precision only affects balance, never correctness, precisely because
+    * the map is monotone) fed to the codegen [[graft.functions.AsofIndex]]
+    * binary search: O(log buckets) per row, whole-stage-codegen'd. Repeated
+    * heavy-hitter values collapse duplicate boundaries and simply share a
+    * bucket. */
+  def rankBuckets(df: DataFrame, column: String, buckets: Int = 65536,
+      relativeError: Double = 1e-4): Column = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets out of range for a 16-bit z dimension: $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat
+      .approxQuantile(column, probs, relativeError)
+      .map(d => math.floor(d).toLong)
+    coalesce(
+      graft.functions.AsofFunctions.asof_index(lit(bounds), col(column).cast("long")),
+      lit(0)).cast("long").as(s"rank_$column")
+  }
+
+  /** [[writeZOrdered]] with both dimensions rank-normalized first — the
+    * variant to reach for when either column's domain exceeds 16 bits or is
+    * skewed. */
+  def writeZOrderedByRank(df: DataFrame, dimA: String, dimB: String,
+      path: String, nFiles: Int = 16, buckets: Int = 65536): Unit =
+    writeZOrdered(df, rankBuckets(df, dimA, buckets),
+      rankBuckets(df, dimB, buckets), path, nFiles)
 }

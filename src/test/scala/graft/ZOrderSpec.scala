@@ -45,6 +45,60 @@ class ZOrderSpec extends SparkSpec {
       s"avg z-neighbour distance ${steps.sum.toDouble / steps.size}")
   }
 
+  test("rankBuckets: monotone, rank-uniform, heavy hitters share a bucket") {
+    val vals = ((0 until 2000).map(i => (i.toLong * i * i) % 1000000007L) ++
+      Seq.fill(500)(42L)).zipWithIndex // wide skewed domain + one heavy hitter
+    val df = vals.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bucketed = df.select(col("v"),
+      graft.layout.ZOrder.rankBuckets(df, "v", buckets = 64).as("rb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // monotone: sorting by value sorts by bucket
+    val byVal = bucketed.sortBy(_._1).map(_._2)
+    assert(byVal.zip(byVal.tail).forall { case (x, y) => x <= y })
+    assert(bucketed.map(_._2).min >= 0L && bucketed.map(_._2).max < 64L)
+    // every copy of the heavy hitter lands in ONE bucket
+    assert(bucketed.filter(_._1 == 42L).map(_._2).distinct.length === 1)
+    // rank-uniform despite value skew: the largest bucket holds at most a
+    // few times the ideal share (the hitter's 20 % is the allowed outlier)
+    val sizes = bucketed.groupBy(_._2).map(_._2.length)
+    assert(sizes.max <= vals.size / 64 * 16, s"max bucket ${sizes.max}")
+  }
+
+  test("writeZOrderedByRank keeps RANGE pruning alive on a wide skewed domain " +
+      "where raw low-16-bit z-ordering scrambles it") {
+    import graft.layout.Skipping
+    val n = 8192
+    // both dims skewed over ~2^40 — far beyond zorder2's 16 bits
+    val df = (0 until n).map { i =>
+      val a = (i.toLong % 128) * (i % 128) * (i % 128) * (i % 128) * 17L
+      val b = ((i.toLong * 31) % 128) * ((i * 31) % 128) * ((i * 31) % 128) * 23L
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    def keptRatio(dir: String): Double = {
+      Skipping.writeStats(spark, dir, Seq("a", "b"))
+      // a rank-25% box in BOTH dims, expressed on the RAW values
+      val qa = df.stat.approxQuantile("a", Array(0.25), 0.001).head.toLong
+      val qb = df.stat.approxQuantile("b", Array(0.25), 0.001).head.toLong
+      val (kept, total) = Skipping.selectFiles(spark, dir,
+        Seq(("a", 0L, qa), ("b", 0L, qb)))
+      kept.size.toDouble / total
+    }
+    val rawDir = Files.createTempDirectory("graft-zr").toString + "/raw"
+    ZOrder.writeZOrdered(df, col("a"), col("b"), rawDir, nFiles = 16)
+    val rankDir = Files.createTempDirectory("graft-zr").toString + "/rank"
+    ZOrder.writeZOrderedByRank(df, "a", "b", rankDir, nFiles = 16, buckets = 256)
+
+    val rawKept = keptRatio(rawDir)
+    val rankKept = keptRatio(rankDir)
+    // raw: low-16-bit masking scrambles value order → ~every file's raw
+    // min/max box intersects the query box; rank: files cover contiguous
+    // rank rectangles → most are pruned
+    assert(rawKept > 0.8, s"raw z on a wide domain should prune ~nothing: $rawKept")
+    assert(rankKept <= 0.5, s"rank z must restore pruning: $rankKept")
+    // and the rewrite is content-preserving
+    assert(spark.read.parquet(rankDir).count() === n.toLong)
+  }
+
   test("writeZOrdered: per-file bounding boxes small in BOTH dims; plain sort fails dim B") {
     val n = 16384
     val df = (0 until n).map { i =>
