@@ -42,8 +42,21 @@ object Bench {
 
   /** Headline per-operator timings (subset of SparkEntry.queries that
     * represents each operator family without double-running near-identical
-    * plans). Each is fully materialized via a noop write. */
-  private val headline = Seq(
+    * plans). Each is fully materialized via a noop write.
+    *
+    * THE CANONICAL LIST IS [[graft.tools.PlanPin.pinned]] — Bench aliases it
+    * so a query can never be headline-timed without its plan being pinned
+    * (the drift PlanPinSpec alone could not catch, since it only ties the
+    * spec table to PlanPin). The commented grouping below documents WHY each
+    * family member is in the set; the assert keeps the documentation honest. */
+  private lazy val headline: Seq[String] = {
+    val canonical = graft.tools.PlanPin.pinned
+    assert(canonical == documentedHeadline,
+      "Bench's documented headline drifted from PlanPin.pinned — update both")
+    canonical
+  }
+
+  private val documentedHeadline = Seq(
     "q_routed_rows", "q_sink_agg", "q_conv_spans", "q_enrich_agg",
     "q_limit_final", "q_dedup_exact", "q_minhash_pairs", "q_simhash",
     "q_ann_lsh", "q_token_stats", "q_quality", "q_langid",

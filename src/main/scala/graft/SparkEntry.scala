@@ -76,7 +76,11 @@ object SparkEntry {
         val ev = s.read.parquet(s"$dir/events.parquet")
           .select(col("event_id"), col("user_id"),
             expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hr"))
-        graft.layout.ZOrder.writeZOrdered(ev, col("hr"), col("user_id"),
+        // rank-normalized: absolute hr (~473k > 2^16) fed raw would be
+        // low-16-bit masked — fine while the data stays inside one 65536-hr
+        // window, silently unprunable the day it spans one (user_id grows
+        // past 16 bits at scale too). Rank keeps both RANGE-prunable.
+        graft.layout.ZOrder.writeZOrderedByRank(ev, "hr", "user_id",
           zdir, nFiles = 32)
         graft.layout.Skipping.writeStats(s, zdir, Seq("hr", "user_id"))
       }

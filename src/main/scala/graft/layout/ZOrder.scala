@@ -72,24 +72,50 @@ object ZOrder {
     * binary search: O(log buckets) per row, whole-stage-codegen'd. Repeated
     * heavy-hitter values collapse duplicate boundaries and simply share a
     * bucket. */
-  def rankBuckets(df: DataFrame, column: String, buckets: Int = 65536,
-      relativeError: Double = 1e-4): Column = {
+  def rankBuckets(df: DataFrame, column: String, buckets: Int = 4096,
+      relativeError: Double = -1.0): Column =
+    fromBounds(column, quantileBounds(df, Array(column), buckets, relativeError).head)
+
+  /** One `approxQuantile` pass over ALL requested columns (Spark's
+    * multi-column overload) — [[writeZOrderedByRank]] must not pay one
+    * full-table scan per dimension. `relativeError <= 0` means auto:
+    * 0.1/buckets, a tenth of a bucket's rank share — the library default
+    * 1e-4 is COARSER than a 1/65536 bucket and would collapse adjacent
+    * boundaries, quietly forfeiting the promised file balance. */
+  private def quantileBounds(df: DataFrame, columns: Array[String],
+      buckets: Int, relativeError: Double): Array[Array[Long]] = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets out of range for a 16-bit z dimension: $buckets")
+    val err = if (relativeError > 0) relativeError else 0.1 / buckets
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat
-      .approxQuantile(column, probs, relativeError)
-      .map(d => math.floor(d).toLong)
+    val bounds = df.stat.approxQuantile(columns, probs, err)
+      .map(_.map(d => math.floor(d).toLong))
+    columns.zip(bounds).foreach { case (c, b) =>
+      require(b.nonEmpty,
+        s"rankBuckets($c): no non-null values to draw quantile boundaries " +
+          "from — an all-bucket-0 layout would funnel the whole write " +
+          "through one range partition")
+    }
+    bounds
+  }
+
+  private def fromBounds(column: String, bounds: Array[Long]): Column =
     coalesce(
       graft.functions.AsofFunctions.asof_index(lit(bounds), col(column).cast("long")),
       lit(0)).cast("long").as(s"rank_$column")
-  }
 
   /** [[writeZOrdered]] with both dimensions rank-normalized first — the
     * variant to reach for when either column's domain exceeds 16 bits or is
-    * skewed. */
+    * skewed. Both boundary sets come from ONE quantile pass. Bucket-count
+    * note: the boundary arrays ride the z expression into every task
+    * (8 bytes × buckets × 2 dims), and resolution beyond
+    * (files × row-groups-per-file) buys nothing — the 4096 default covers
+    * ~16 M cells; raise toward 65536 only for very large file counts. */
   def writeZOrderedByRank(df: DataFrame, dimA: String, dimB: String,
-      path: String, nFiles: Int = 16, buckets: Int = 65536): Unit =
-    writeZOrdered(df, rankBuckets(df, dimA, buckets),
-      rankBuckets(df, dimB, buckets), path, nFiles)
+      path: String, nFiles: Int = 16, buckets: Int = 4096,
+      relativeError: Double = -1.0): Unit = {
+    val bounds = quantileBounds(df, Array(dimA, dimB), buckets, relativeError)
+    writeZOrdered(df, fromBounds(dimA, bounds(0)), fromBounds(dimB, bounds(1)),
+      path, nFiles)
+  }
 }
