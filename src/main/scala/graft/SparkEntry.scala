@@ -687,6 +687,23 @@ object SparkEntry {
         count(when(col("o_orderpriority").isNull, 1)).as("null_priorities"),
         min(unix_micros(col("o_orderdate").cast("timestamp"))).as("min_date_us"),
         max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_date_us"))),
+    // declarative data-quality expectations (the Deequ/Great-Expectations
+    // shape; data analog of the reference's F5 config Validate): N checks
+    // compiled into ONE aggregation pass with exact integer-ppm verdicts
+    // (graft.quality.Expectations); the oracle recomputes every verdict
+    // from independent SQL aggregates. Suite deliberately mixes passing
+    // and failing checks so both verdict paths are hash-compared.
+    "q_expectations" -> ((s, dir) => {
+      import graft.quality.Expectations._
+      graft.quality.Expectations.validate(
+        s.read.parquet(s"$dir/documents.parquet"), Seq(
+          Complete("text", 0.95),
+          Unique("doc_id"),
+          Unique("source"),
+          InRange("n_chars", 1, 400),
+          Matches("lang", "^[a-z]{2}$"),
+          OneOf("source", (0 until 10).map(i => s"src$i"))))
+    }),
     // Z-order (Morton) key: the multi-dimension data-skipping sort key —
     // bit-spread via shiftleft/bitwiseAND built-ins, engine-exact integer
     // arithmetic (graft.layout.ZOrder; the layout effect is measured in
@@ -1617,6 +1634,49 @@ object SparkEntry {
            min(epoch_us(o_orderdate)) AS min_date_us,
            max(epoch_us(o_orderdate)) AS max_date_us
          FROM orders""",
+    // every verdict recomputed from independent aggregates; all counters and
+    // flags cast to bigint so DuckDB's int32 literals can't skew the schema
+    "q_expectations" ->
+      """WITH a AS (SELECT
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(CASE WHEN text IS NULL THEN 1 END) AS bigint) AS v_text,
+           cast(count(doc_id) AS bigint) AS nn_doc,
+           cast(count(DISTINCT doc_id) AS bigint) AS dist_doc,
+           cast(count(source) AS bigint) AS nn_src,
+           cast(count(DISTINCT source) AS bigint) AS dist_src,
+           cast(count(n_chars) AS bigint) AS nn_nch,
+           cast(count(CASE WHEN n_chars IS NOT NULL
+                            AND (n_chars < 1 OR n_chars > 400) THEN 1 END)
+                AS bigint) AS v_nch,
+           cast(count(lang) AS bigint) AS nn_lang,
+           cast(count(CASE WHEN lang IS NOT NULL
+                            AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 END)
+                AS bigint) AS v_lang,
+           cast(count(CASE WHEN source IS NOT NULL AND source NOT IN
+                  ('src0','src1','src2','src3','src4',
+                   'src5','src6','src7','src8','src9') THEN 1 END)
+                AS bigint) AS v_one
+         FROM documents)
+         SELECT 'complete_text' AS check_name, 'text' AS col_name,
+                v_text AS violations, cnt AS denom,
+                cast(50000 AS bigint) AS threshold_ppm,
+                cast(CASE WHEN v_text * 1000000 <= 50000 * cnt
+                          THEN 1 ELSE 0 END AS bigint) AS passed FROM a
+         UNION ALL SELECT 'unique_doc_id', 'doc_id', nn_doc - dist_doc, nn_doc,
+                cast(0 AS bigint),
+                cast(CASE WHEN nn_doc = dist_doc THEN 1 ELSE 0 END AS bigint) FROM a
+         UNION ALL SELECT 'unique_source', 'source', nn_src - dist_src, nn_src,
+                cast(0 AS bigint),
+                cast(CASE WHEN nn_src = dist_src THEN 1 ELSE 0 END AS bigint) FROM a
+         UNION ALL SELECT 'range_n_chars', 'n_chars', v_nch, nn_nch,
+                cast(0 AS bigint),
+                cast(CASE WHEN v_nch = 0 THEN 1 ELSE 0 END AS bigint) FROM a
+         UNION ALL SELECT 'matches_lang', 'lang', v_lang, nn_lang,
+                cast(0 AS bigint),
+                cast(CASE WHEN v_lang = 0 THEN 1 ELSE 0 END AS bigint) FROM a
+         UNION ALL SELECT 'one_of_source', 'source', v_one, nn_src,
+                cast(0 AS bigint),
+                cast(CASE WHEN v_one = 0 THEN 1 ELSE 0 END AS bigint) FROM a""",
     // the rewrite must preserve content exactly: oracle is the plain table
     "q_compact" ->
       "SELECT event_id, user_id FROM events",
