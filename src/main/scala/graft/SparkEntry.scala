@@ -84,8 +84,21 @@ object SparkEntry {
           zdir, nFiles = 32)
         graft.layout.Skipping.writeStats(s, zdir, Seq("hr", "user_id"))
       }
+      // bloom index on the NON-clustering key, own done marker (scratch dirs
+      // predating the index must gain it without re-running the z-write)
+      val bloomDone = new java.io.File(
+        graft.layout.BloomIndex.indexPath(zdir, "event_id") + "/_SUCCESS")
+      if (!bloomDone.exists())
+        graft.layout.BloomIndex.writeIndex(s, zdir, "event_id",
+          expectedItemsPerFile = 1L << 16)
       zdir
     }
+
+  /** Scattered event_ids inside every SF's domain (sf0.001 tops out at 999)
+    * — [[ensureZOrderedEvents]]'s layout clusters (hr, user_id), so these
+    * land in bloom-prunable, box-unprunable positions. */
+  private val BloomLookupIds: Seq[Any] =
+    Seq(7L, 123L, 250L, 401L, 512L, 700L, 888L, 963L)
 
   /** 64-tiny-file events copy, bin-packed once per sf dir (compaction's
     * dir swap replaces the data dir, so the done marker lives BESIDE it). */
@@ -725,6 +738,17 @@ object SparkEntry {
       val zdir = ensureZOrderedEvents(s, dir)
       graft.layout.Skipping.prunedRead(s, zdir,
         Seq(("hr", 473400L, 473449L), ("user_id", 10L, 59L)))
+        .select(col("event_id"), col("user_id"), col("hr"))
+    }),
+    // per-file bloom-index point lookup (graft.layout.BloomIndex): an
+    // IN-list on event_id — high-cardinality and NOT a clustering key, the
+    // predicate min/max boxes can't prune — opens only bloom-positive files
+    // of the z-ordered layout. Oracle is the plain full-scan IN filter, so
+    // the green hash proves no-false-negative pruning + exact residual on
+    // the real layout; BloomIndexSpec measures the file-count effectiveness
+    "q_bloom_lookup" -> ((s, dir) => {
+      val zdir = ensureZOrderedEvents(s, dir)
+      graft.layout.BloomIndex.lookup(s, zdir, "event_id", BloomLookupIds)
         .select(col("event_id"), col("user_id"), col("hr"))
     }),
     // small-file compaction (graft.layout.Compact): a 64-tiny-file events
@@ -1686,6 +1710,10 @@ object SparkEntry {
          FROM events
          WHERE epoch_us(ts) // 3600000000 BETWEEN 473400 AND 473449
            AND user_id BETWEEN 10 AND 59""",
+    "q_bloom_lookup" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hr
+         FROM events
+         WHERE event_id IN (7, 123, 250, 401, 512, 700, 888, 963)""",
     "q_zorder" ->
       """WITH b AS (
            SELECT event_id,
