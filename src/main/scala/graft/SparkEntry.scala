@@ -629,6 +629,22 @@ object SparkEntry {
           tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("counter"), col("increase"))
     }),
+    // rolling median/MAD anomaly flags on per-(type, hour) volumes — the
+    // self-baselining form of the reference limiter's fixed-threshold
+    // alerting (graft.temporal.Anomaly; ONE window per key, integer-exact
+    // 2·median / 4·MAD arithmetic is what makes the DuckDB hash match);
+    // warm-up rows are filtered on both sides, flatline MAD=0 windows are in
+    "q_anomaly" -> ((s, dir) => {
+      val series = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.temporal.Anomaly.madFlags(series, Seq("event_type"), Seq("hr"),
+          "cnt", window = 24, k = 6)
+        .filter(col("mad4").isNotNull)
+        .select(col("event_type"), col("hr"), col("cnt"), col("med2"),
+          col("dev2"), col("mad4"), col("anomaly"))
+    }),
     // CDC changelog compaction (MERGE INTO shape): winner-per-key via a
     // WindowGroupLimit-bounded rank, one anti-join + union — the nightly
     // snapshot-maintenance job (graft.cdc.Cdc); changelog derived
@@ -1645,6 +1661,28 @@ object SparkEntry {
                 CASE WHEN prev IS NULL THEN NULL
                      WHEN counter >= prev THEN counter - prev
                      ELSE counter END AS increase
+         FROM d""",
+    "q_anomaly" ->
+      """WITH s AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  cast(count(*) AS bigint) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hr, cnt,
+             list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS win
+           FROM s),
+         m AS (
+           SELECT event_type, hr, cnt, win, win[12] + win[13] AS med2
+           FROM w WHERE len(win) = 24),
+         d AS (
+           SELECT event_type, hr, cnt, med2, abs(2*cnt - med2) AS dev2,
+             list_sort(list_transform(win, x -> abs(2*x - med2))) AS devs
+           FROM m)
+         SELECT event_type, hr, cnt, med2, dev2,
+                devs[12] + devs[13] AS mad4,
+                CASE WHEN 2*dev2 > 6*(devs[12] + devs[13]) THEN 1 ELSE 0
+                  END AS anomaly
          FROM d""",
     "q_profile" ->
       """SELECT count(*) AS n_rows,
