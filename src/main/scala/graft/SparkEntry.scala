@@ -393,6 +393,21 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // relational inverted index: (term, doc_id, tf, df) postings with
+    // min-df and max-df-percent stopword cutoffs (graft.text.Search —
+    // rows not arrays so hot terms shuffle-balance; df via a window over
+    // the already-aggregated (term, doc) pairs)
+    "q_postings" -> ((s, dir) =>
+      graft.text.Search.postings(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", minDf = 5, maxDfPercent = 78)),
+    // BM25 ranked retrieval, integer milli-point scores: per-term
+    // contributions floor-scaled to bigint per ROW and summed as integer
+    // columns — no double crosses rows, so ranking is deterministic and
+    // DuckDB hash-matches (graft.text.Search.bm25TopK: one stats pass +
+    // one TakeOrdered scan)
+    "q_bm25" -> ((s, dir) =>
+      graft.text.Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", Seq("spark", "join", "window"), k = 20)),
     // document fingerprint: rolling hash over the token stream (rows-only)
     "q_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet").select(
@@ -1098,6 +1113,42 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_postings" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT term, doc_id, cast(count(*) AS bigint) AS tf
+                FROM tok GROUP BY 1, 2),
+         p AS (SELECT term, doc_id, tf,
+                 cast(count(*) OVER (PARTITION BY term) AS bigint) AS df
+               FROM tf),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT term, doc_id, tf, df FROM p, n
+         WHERE df >= 5 AND df * 100 <= n * 78""",
+    "q_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> t <> '') AS toks
+           FROM documents),
+         d AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS dl FROM base),
+         st AS (SELECT cast(count(*) AS bigint) AS n,
+                  cast(sum(dl) AS bigint) AS sum_dl,
+                  cast(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS bigint) AS df0,
+                  cast(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS bigint) AS df1,
+                  cast(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS bigint) AS df2
+                FROM d),
+         sc AS (
+           SELECT doc_id,
+             cast(floor(1000 * ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (cast(len(list_filter(toks, x -> x = 'spark')) AS bigint) * (1.2 + 1)) / (cast(len(list_filter(toks, x -> x = 'spark')) AS bigint) + 1.2 * (1 - 0.75 + (0.75 * dl) / (sum_dl / n)))) AS bigint)
+             + cast(floor(1000 * ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (cast(len(list_filter(toks, x -> x = 'join')) AS bigint) * (1.2 + 1)) / (cast(len(list_filter(toks, x -> x = 'join')) AS bigint) + 1.2 * (1 - 0.75 + (0.75 * dl) / (sum_dl / n)))) AS bigint)
+             + cast(floor(1000 * ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (cast(len(list_filter(toks, x -> x = 'window')) AS bigint) * (1.2 + 1)) / (cast(len(list_filter(toks, x -> x = 'window')) AS bigint) + 1.2 * (1 - 0.75 + (0.75 * dl) / (sum_dl / n)))) AS bigint)
+             AS score_milli
+           FROM d, st)
+         SELECT doc_id, score_milli FROM sc
+         ORDER BY score_milli DESC, doc_id LIMIT 20""",
     "q_scrub" ->
       """SELECT doc_id,
          regexp_replace(
