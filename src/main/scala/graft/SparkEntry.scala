@@ -748,6 +748,23 @@ object SparkEntry {
           Matches("lang", "^[a-z]{2}$"),
           OneOf("source", (0 until 10).map(i => s"src$i"))))
     }),
+    // profile drift between two snapshots (graft.quality.Drift): the before
+    // profile is the raw documents table, the after is a deterministic
+    // "next drop" — 10% of rows gone, lang nulled on every 7th doc, source
+    // dropped, n_tokens added — exercising added/dropped/drifted/stable in
+    // one verdict table. Exact-distinct mode for oracle parity; integer
+    // basis-point math throughout
+    "q_drift" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val before = graft.quality.Drift.profile(docs, exactDistinct = true)
+      val mutated = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("lang", when(col("doc_id") % 7 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .drop("source")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("bigint"))
+      val after = graft.quality.Drift.profile(mutated, exactDistinct = true)
+      graft.quality.Drift.drift(before, after)
+    }),
     // Z-order (Morton) key: the multi-dimension data-skipping sort key —
     // bit-spread via shiftleft/bitwiseAND built-ins, engine-exact integer
     // arithmetic (graft.layout.ZOrder; the layout effect is measured in
@@ -1803,6 +1820,62 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hr
          FROM events
          WHERE event_id IN (7, 123, 250, 401, 512, 700, 888, 963)""",
+    "q_drift" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, n_chars,
+             cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS bigint) AS n_tokens
+           FROM documents WHERE doc_id % 10 <> 0),
+         b AS (
+           SELECT 'doc_id' AS col, cast(count(*) AS bigint) AS n_rows,
+             cast(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS bigint) AS n_nulls,
+             cast(count(DISTINCT doc_id) AS bigint) AS n_distinct FROM documents
+           UNION ALL SELECT 'text', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT text) AS bigint) FROM documents
+           UNION ALL SELECT 'lang', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT lang) AS bigint) FROM documents
+           UNION ALL SELECT 'source', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT source) AS bigint) FROM documents
+           UNION ALL SELECT 'n_chars', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT n_chars) AS bigint) FROM documents),
+         a AS (
+           SELECT 'doc_id' AS col, cast(count(*) AS bigint) AS n_rows,
+             cast(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS bigint) AS n_nulls,
+             cast(count(DISTINCT doc_id) AS bigint) AS n_distinct FROM m
+           UNION ALL SELECT 'text', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT text) AS bigint) FROM m
+           UNION ALL SELECT 'lang', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT lang) AS bigint) FROM m
+           UNION ALL SELECT 'n_chars', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT n_chars) AS bigint) FROM m
+           UNION ALL SELECT 'n_tokens', cast(count(*) AS bigint),
+             cast(coalesce(sum(CASE WHEN n_tokens IS NULL THEN 1 ELSE 0 END), 0) AS bigint),
+             cast(count(DISTINCT n_tokens) AS bigint) FROM m),
+         j AS (
+           SELECT coalesce(b.col, a.col) AS "column",
+             b.col IS NULL AS is_added, a.col IS NULL AS is_dropped,
+             b.n_nulls AS n_nulls_before, a.n_nulls AS n_nulls_after,
+             b.n_distinct AS n_distinct_before, a.n_distinct AS n_distinct_after,
+             abs(a.n_nulls * 10000 // greatest(a.n_rows, 1)
+               - b.n_nulls * 10000 // greatest(b.n_rows, 1)) AS null_delta_bp
+           FROM b FULL OUTER JOIN a ON b.col = a.col)
+         SELECT "column",
+           CASE WHEN is_added THEN 'added'
+                WHEN is_dropped THEN 'dropped'
+                WHEN null_delta_bp > 100
+                  OR n_distinct_after * 100 > n_distinct_before * 150
+                  OR n_distinct_before * 100 > n_distinct_after * 150 THEN 'drifted'
+                ELSE 'stable' END AS status,
+           n_nulls_before, n_nulls_after, n_distinct_before, n_distinct_after,
+           cast(null_delta_bp AS bigint) AS null_delta_bp
+         FROM j""",
     "q_zorder" ->
       """WITH b AS (
            SELECT event_id,
