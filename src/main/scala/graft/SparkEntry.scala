@@ -748,6 +748,26 @@ object SparkEntry {
           Matches("lang", "^[a-z]{2}$"),
           OneOf("source", (0 until 10).map(i => s"src$i"))))
     }),
+    // integer-deterministic PageRank over the supplier<->customer activity
+    // graph (distinct lineitem x orders pairs, symmetrized so nothing
+    // dangles): 5 synchronous iterations of bigint fixed-point updates —
+    // floor division everywhere, so results are bit-identical under any
+    // reshuffle and an unrolled 5-stage DuckDB oracle twins them exactly
+    // (graft.graph.PageRank; inputs lazily checkpointed once, referenced
+    // per iteration)
+    "q_pagerank" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val or = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(or, li("l_orderkey") === or("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.graph.PageRank.ranks(edges, iters = 5)
+    }),
     // profile drift between two snapshots (graft.quality.Drift): the before
     // profile is the raw documents table, the after is a deterministic
     // "next drop" — 10% of rows gone, lang nulled on every 7th doc, source
@@ -940,7 +960,39 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** q_pagerank's oracle, generated: recursive CTEs can't aggregate in the
+    * recursive member (SQL standard), so the 5 synchronous iterations are
+    * UNROLLED — r1..r5 are the same join-agg stage over the previous rank
+    * table. Same integer floor arithmetic as graft.graph.PageRank. */
+  private def pageRankOracle(iters: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      outd AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM e GROUP BY 1),
+      -- symmetric graph: every dst is also a src
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      nn AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+      r0 AS (SELECT node, cast(1000000000000 // n AS bigint) AS rank
+             FROM nodes CROSS JOIN nn)"""
+    val stages = (1 to iters).map { i =>
+      s""",
+      r$i AS (
+        SELECT nodes.node,
+          cast((1000000000000 * 15) // (100 * nn.n)
+            + 85 * coalesce(s.in_sum, 0) // 100 AS bigint) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+          SELECT e.dst AS node, sum(r.rank // o.outdeg) AS in_sum
+          FROM e JOIN outd o ON e.src = o.src JOIN r${i - 1} r ON r.node = e.src
+          GROUP BY 1) s ON s.node = nodes.node)"""
+    }.mkString
+    s"$head$stages\n      SELECT node, rank FROM r$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle(5),
     "q_turns" -> Oracles.withPipeline(
       "SELECT conv_id, turn_idx, role, text, tool FROM turns"),
     "q_parse_stats" -> Oracles.withPipeline(
