@@ -172,5 +172,42 @@ object GraftTableFunctions {
         view(strArg(args(0), "samples")), keys(strArg(args(1), "keys")),
         strArg(args(2), "tsCol"), strArg(args(3), "counterCol"),
         if (args.length > 4) keys(strArg(args(4), "tieBreak")) else Nil))
+    },
+    // mad_flags(series, keys, orderCols, valueCol, window, k)
+    fn("mad_flags") { args =>
+      plan(graft.temporal.Anomaly.madFlags(
+        view(strArg(args(0), "series")), keys(strArg(args(1), "keys")),
+        keys(strArg(args(2), "orderCols")), strArg(args(3), "valueCol"),
+        longArg(args(4), "window").toInt, longArg(args(5), "k").toInt))
+    },
+    // page_rank(edges, iters [, scale, dampPct])
+    fn("page_rank") { args =>
+      plan(graft.graph.PageRank.ranks(
+        view(strArg(args(0), "edges")), longArg(args(1), "iters").toInt,
+        optLongArg(args, 2, "scale").getOrElse(1000000000000L),
+        optLongArg(args, 3, "dampPct").getOrElse(85L).toInt))
+    },
+    // postings(docs, idCol, textCol, minDf, maxDfPercent)
+    fn("postings") { args =>
+      plan(graft.text.Search.postings(
+        view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
+        strArg(args(2), "textCol"), longArg(args(3), "minDf"),
+        longArg(args(4), "maxDfPercent").toInt))
+    },
+    // bm25(docs, idCol, textCol, termsCsv, k)
+    fn("bm25") { args =>
+      plan(graft.text.Search.bm25TopK(
+        view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
+        strArg(args(2), "textCol"), keys(strArg(args(3), "terms")),
+        longArg(args(4), "k").toInt))
+    },
+    // profile_drift(before, after [, maxNullDeltaBp, maxDistinctRatioPct]) —
+    // profiles both tables (HLL distinct mode) and diffs them
+    fn("profile_drift") { args =>
+      plan(graft.quality.Drift.drift(
+        graft.quality.Drift.profile(view(strArg(args(0), "before"))),
+        graft.quality.Drift.profile(view(strArg(args(1), "after"))),
+        optLongArg(args, 2, "maxNullDeltaBp").getOrElse(100L),
+        optLongArg(args, 3, "maxDistinctRatioPct").getOrElse(150L)))
     })
 }

@@ -175,6 +175,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(inc === Map(1L -> None, 2L -> Some(4L), 3L -> Some(2L)))
   }
 
+  test("mad_flags / page_rank / postings / bm25 / profile_drift from SQL match the Column API") {
+    import spark.implicits._
+    // anomaly: flatline then a jump (window 4, k 6)
+    Seq(7L, 7L, 7L, 7L, 7L, 9L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("k", "t", "v").createOrReplaceTempView("tvf_series")
+    val flags = spark.sql(
+      "SELECT t, anomaly FROM mad_flags('tvf_series', 'k', 't', 'v', 4, 6)")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(flags(4L) === Some(0) && flags(5L) === Some(1))
+
+    val spokes = (1 to 4).map(i => ("hub", s"l$i"))
+    (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+      .createOrReplaceTempView("tvf_edges")
+    val pr = spark.sql("SELECT * FROM page_rank('tvf_edges', 3)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") > pr("l1") && pr.size === 5)
+
+    Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_docs")
+    val posts = spark.sql(
+      "SELECT * FROM postings('tvf_docs', 'doc_id', 'text', 1, 100)")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(posts(("x", 1L)) === 2L && posts(("y", 2L)) === 1L)
+    val hits = spark.sql(
+      "SELECT * FROM bm25('tvf_docs', 'doc_id', 'text', 'z', 1)").collect()
+    assert(hits.length === 1 && hits.head.getLong(0) === 2L)
+
+    spark.sql("SELECT doc_id, text FROM tvf_docs")
+      .createOrReplaceTempView("tvf_docs_after")
+    Seq((1L, "x y x", "en"), (2L, "y z", "de")).toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("tvf_docs_before")
+    val drift = spark.sql(
+      "SELECT `column`, status FROM profile_drift('tvf_docs_before', 'tvf_docs_after')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drift("lang") === "dropped" && drift("text") === "stable")
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {
