@@ -88,7 +88,13 @@ object Bench {
     "q_skipping_read",
     // round-6: dynamic partition pruning — the runtime hot-month dim prunes
     // the partitioned fact scan to k of ~80 month dirs (ingest prepaid)
-    "q_dpp_hot_months")
+    "q_dpp_hot_months",
+    // round-6 operator wave 2: rolling median/MAD anomaly flags (one window
+    // per key over the aggregated series), BM25 retrieval (zero-exchange:
+    // stats pass + TakeOrdered scan), and integer PageRank (5 iterations of
+    // src-join + dst-agg over the supplier⋈customer graph — the iterative
+    // shuffle workload the headline otherwise lacks)
+    "q_anomaly", "q_bm25", "q_pagerank")
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

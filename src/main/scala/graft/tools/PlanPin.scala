@@ -54,7 +54,7 @@ object PlanPin {
     "q_curation_full", "q_tpch_revenue", "q_tpch_nation_volume",
     "q_tpch_bucketed_revenue", "q_asof_config", "q_cdc_upsert", "q_funnel",
     "q_overlap_sessions", "q_interval_density", "q_skipping_read",
-    "q_dpp_hot_months")
+    "q_dpp_hot_months", "q_anomaly", "q_bm25", "q_pagerank")
 
   def withStaticPlans[A](spark: SparkSession)(body: => A): A = {
     val confs = Seq(
