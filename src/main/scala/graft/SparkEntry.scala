@@ -524,6 +524,10 @@ object SparkEntry {
     "q_tpch_waiting_orders" -> ((s, dir) => Tpch.ordersWithReturns(s, dir)),
     // rollup / grouping-sets aggregate: 3 grouping levels in ONE pass
     "q_tpch_rollup" -> ((s, dir) => Tpch.revenueRollup(s, dir)),
+    // CUBE: all four (status, priority) grouping sets in one Expand pass,
+    // grouping_id() disambiguating superaggregates (bit order oracle-checked
+    // against DuckDB GROUPING())
+    "q_tpch_cube" -> ((s, dir) => Tpch.revenueCube(s, dir)),
     // bucketed co-located fact join: the ingest-prepaid shuffle — the join
     // itself runs with zero exchange and zero sort (plan-asserted in
     // TpchSpec); same SQL semantics as the plain join, so the oracle is free
@@ -643,6 +647,17 @@ object SparkEntry {
       graft.temporal.Series.counterIncrease(evs, Seq("user_id"), "ts_us", "counter",
           tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("counter"), col("increase"))
+    }),
+    // first-order event-transition matrix per user (graft.agg.Transitions):
+    // consecutive event_type hops ordered by (ts, event_id), counts +
+    // integer milli-probabilities per from-state row — the clickstream
+    // Markov primitive complementing the declared-path funnel
+    "q_transitions" -> ((s, dir) => {
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.agg.Transitions.matrix(evs, Seq("user_id"),
+        Seq("ts_us", "event_id"), "event_type")
     }),
     // rolling median/MAD anomaly flags on per-(type, hour) volumes — the
     // self-baselining form of the reference limiter's fixed-threshold
@@ -1631,6 +1646,15 @@ object SparkEntry {
          JOIN orders ON o_custkey = c_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          GROUP BY ROLLUP(n_name, o_orderpriority)""",
+    "q_tpch_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           cast(GROUPING(o_orderstatus, o_orderpriority) AS bigint) AS gid,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
+           count(*) AS n_items
+         FROM orders
+         JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q_tpch_bucketed_revenue" ->
       """SELECT o_orderpriority,
            cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) AS revenue_cents,
@@ -1782,6 +1806,20 @@ object SparkEntry {
                      WHEN counter >= prev THEN counter - prev
                      ELSE counter END AS increase
          FROM d""",
+    "q_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         c AS (
+           SELECT prev AS from_state, event_type AS to_state,
+             cast(count(*) AS bigint) AS n
+           FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, n,
+           cast(n * 1000 // cast(sum(n) OVER (PARTITION BY from_state) AS bigint)
+             AS bigint) AS p_milli
+         FROM c""",
     "q_anomaly" ->
       """WITH s AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

@@ -164,6 +164,24 @@ object Tpch {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("revenue_cents"), col("n_items"))
 
+  /** CUBE twin of [[revenueRollup]]: all four grouping sets of
+    * (status, priority) in ONE Expand pass — the slice-any-way OLAP shape.
+    * `grouping_id()` disambiguates a real 'ALL'-valued group from a
+    * superaggregate (coalesce alone could not, had the domain contained
+    * 'ALL'); leftmost cube column = most significant bit, the convention
+    * DuckDB/Postgres GROUPING() shares, which the oracle verifies. */
+  def revenueCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(revenueCents).as("revenue_cents"), count(lit(1)).as("n_items"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid").cast("long").as("gid"),
+        col("revenue_cents"), col("n_items"))
+
   /** Bucketed-twin tables of orders/lineitem for `dir` — the INGEST step of
     * the pay-the-shuffle-once strategy, run once per (session, dir): the
     * repartition inside [[writeBucketed]] is the prepaid exchange, and every

@@ -126,6 +126,32 @@ class TpchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("cube: four grouping sets, gid bit order, each margin sums to the grand total") {
+    val res = Tpch.revenueCube(spark, sfDir).collect()
+    def cents(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("revenue_cents")).sum
+    val byGid = res.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L), "all four grouping sets present")
+    // gid bit order: leftmost cube column (status) = MSB. gid=1 aggregates
+    // AWAY priority (its rows have real statuses), gid=2 aggregates away
+    // status
+    assert(byGid(1L).forall(r =>
+      r.getString(0) != "ALL" && r.getString(1) == "ALL"), "gid=1 is per-status")
+    assert(byGid(2L).forall(r =>
+      r.getString(0) == "ALL" && r.getString(1) != "ALL"), "gid=2 is per-priority")
+    val grand = cents(byGid(3L))
+    assert(byGid(3L).length === 1)
+    for (g <- Seq(0L, 1L, 2L))
+      assert(cents(byGid(g)) === grand, s"gid=$g margin must sum to the grand total")
+    // one Expand pass, like rollup
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Tpch.revenueCube(spark, sfDir).queryExecution.executedPlan.toString
+      assert("Expand".r.findAllIn(plan).length === 1, s"exactly one Expand:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed revenue: zero exchange and zero sort on the fact join, parity with plain join") {
     // deliberately does NOT set bucketedTableScan.outputOrdering here: the
     // sort elision must come from the conf-scoped clone inside
