@@ -393,6 +393,18 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // train/test contamination check (graft.text.Contamination): per test
+    // doc, the fraction of its distinct 8-gram shingles covered by the
+    // train split's shingle SET — the decontamination gate before trusting
+    // an eval split; same corpus split as q_bloom_incremental, integer
+    // milli scores, codegen word_shingles kernel
+    "q_ngram_coverage" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Contamination.overlap(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 8)
+    }),
     // relational inverted index: (term, doc_id, tf, df) postings with
     // min-df and max-df-percent stopword cutoffs (graft.text.Search —
     // rows not arrays so hot terms shuffle-balance; df via a window over
@@ -1197,6 +1209,28 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_ngram_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(toks[i:i+7], ' ')) END AS shs
+           FROM tok),
+         tr AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 3 <> 0),
+         te AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id % 3 = 0),
+         j AS (
+           SELECT te.doc_id, cast(count(*) AS bigint) AS n_shingles,
+             cast(coalesce(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 END), 0) AS bigint) AS n_matched
+           FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY 1)
+         SELECT doc_id, n_shingles, n_matched,
+           n_matched * 1000 // n_shingles AS contaminated_milli
+         FROM j""",
     "q_postings" ->
       """WITH tok AS (
            SELECT doc_id,
