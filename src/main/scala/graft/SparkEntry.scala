@@ -393,6 +393,13 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // PMI collocation mining (graft.text.Collocations): adjacent token
+    // pairs scored ln(p(a,b)/(p(a)p(b))) in floor'd integer milli-units —
+    // association mining for phrase vocabularies / tokenizer merges; one
+    // fixed double-op order mirrored by the oracle, exact bigint counts
+    "q_pmi" -> ((s, dir) =>
+      graft.text.Collocations.pmi(
+        s.read.parquet(s"$dir/documents.parquet"), "text", minCount = 5)),
     // train/test contamination check (graft.text.Contamination): per test
     // doc, the fraction of its distinct 8-gram shingles covered by the
     // train split's shingle SET — the decontamination gate before trusting
@@ -1209,6 +1216,31 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_pmi" ->
+      """WITH tok AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t <> '') AS toks
+           FROM documents),
+         uc AS (
+           SELECT w, cast(count(*) AS bigint) AS c
+           FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+         b0 AS (
+           SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM tok WHERE len(toks) >= 2),
+         bc AS (
+           SELECT toks[i] AS w1, toks[i+1] AS w2,
+             cast(count(*) AS bigint) AS cab
+           FROM b0 GROUP BY 1, 2 HAVING count(*) >= 5),
+         tot AS (
+           SELECT cast(sum(len(toks)) AS bigint) AS nuni,
+             cast(sum(greatest(len(toks) - 1, 0)) AS bigint) AS nbig
+           FROM tok)
+         SELECT w1, w2, cab,
+           cast(floor(1000 * ln((cab / nbig) / ((ca.c / nuni) * (cb.c / nuni)))) AS bigint) AS pmi_milli
+         FROM bc
+         JOIN uc ca ON ca.w = bc.w1
+         JOIN uc cb ON cb.w = bc.w2
+         CROSS JOIN tot""",
     "q_ngram_coverage" ->
       """WITH tok AS (
            SELECT doc_id,
