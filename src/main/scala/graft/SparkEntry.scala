@@ -83,9 +83,15 @@ object SparkEntry {
         graft.layout.ZOrder.writeZOrderedByRank(ev, "hr", "user_id",
           zdir, nFiles = 32)
         graft.layout.Skipping.writeStats(s, zdir, Seq("hr", "user_id"))
+        // the index must regenerate WITH the layout: a rebuilt z-write has
+        // new part-file names, and an index surviving from the old layout
+        // would reference dead paths (or, with ignoreMissingFiles, silently
+        // lose rows — the exact soundness the bloom promises)
+        graft.layout.BloomIndex.writeIndex(s, zdir, "event_id",
+          expectedItemsPerFile = 1L << 16)
       }
-      // bloom index on the NON-clustering key, own done marker (scratch dirs
-      // predating the index must gain it without re-running the z-write)
+      // upgrade path only: scratch layouts predating the index gain it
+      // without re-running the z-write
       val bloomDone = new java.io.File(
         graft.layout.BloomIndex.indexPath(zdir, "event_id") + "/_SUCCESS")
       if (!bloomDone.exists())
@@ -1881,7 +1887,8 @@ object SparkEntry {
          c AS (
            SELECT prev AS from_state, event_type AS to_state,
              cast(count(*) AS bigint) AS n
-           FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+           FROM s WHERE prev IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2)
          SELECT from_state, to_state, n,
            cast(n * 1000 // cast(sum(n) OVER (PARTITION BY from_state) AS bigint)
              AS bigint) AS p_milli

@@ -98,11 +98,19 @@ object BloomAgg {
     Bridge.column(
       BloomAgg(Bridge.expression(c), expectedItems, fpp).toAggregateExpression())
 
+  /** Deserialize a bloom once; probe it many times with [[mightContain]].
+    * Callers probing k keys against one filter must not pay k
+    * deserializations of a multi-KB bitset. */
+  def read(bloomBytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
   /** Driver-side probe of a serialized bloom against a key. Must mirror
     * [[BloomAgg.update]]'s hashing exactly: UTF-8 bytes for strings, raw
     * long for integrals. */
-  def mightContain(bloomBytes: Array[Byte], key: Any): Boolean = {
-    val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+  def mightContain(bloomBytes: Array[Byte], key: Any): Boolean =
+    mightContain(read(bloomBytes), key)
+
+  def mightContain(bf: BloomFilter, key: Any): Boolean = {
     key match {
       case s: String => bf.mightContainBinary(
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

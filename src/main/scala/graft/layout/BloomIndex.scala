@@ -63,8 +63,10 @@ object BloomIndex {
     val rows = spark.read.parquet(indexPath(dir, column))
       .select(col("file"), col("bloom")).collect()
     val kept = rows.filter { r =>
-      val bloom = r.getAs[Array[Byte]]("bloom")
-      keys.exists(k => BloomAgg.mightContain(bloom, k))
+      // deserialize ONCE per file, probe the live filter per key — a
+      // k-key IN-list must not pay k deserializations of a multi-KB bitset
+      val bf = BloomAgg.read(r.getAs[Array[Byte]]("bloom"))
+      keys.exists(k => BloomAgg.mightContain(bf, k))
     }.map(_.getString(0)).toSeq
     (kept, rows.length.toLong)
   }
