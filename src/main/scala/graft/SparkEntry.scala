@@ -399,6 +399,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    // Spirakis): key = ln(u)/w with u derived from md5(id, salt), top-k by
+    // key — inclusion proportional to n_chars, zero RNG state, the verdict
+    // is a pure projection (TextAnalysis.weightedSample; TakeOrdered, no
+    // global sort)
+    "q_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "n_chars",
+        k = 100)),
     // PMI collocation mining (graft.text.Collocations): adjacent token
     // pairs scored ln(p(a,b)/(p(a)p(b))) in floor'd integer milli-units —
     // association mining for phrase vocabularies / tokenizer merges; one
@@ -1222,6 +1231,17 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_weighted_sample" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5(cast(doc_id AS varchar) || 'wsample'), 1, 13) AS bigint) AS v
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         k AS (
+           SELECT doc_id, n_chars,
+             cast(floor(1000000.0 * (ln((v + 1) / 4503599627370496.0) / n_chars)) AS bigint) AS key_micro
+           FROM b)
+         SELECT doc_id, n_chars, key_micro FROM k
+         ORDER BY key_micro DESC, doc_id LIMIT 100""",
     "q_pmi" ->
       """WITH tok AS (
            SELECT list_filter(string_split_regex(lower(text), '\s+'),

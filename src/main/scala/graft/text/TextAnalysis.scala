@@ -384,6 +384,36 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("n_tokens"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = ln(u)/w with u ∈ (0, 1] a uniform
+    * derived from md5(id, salt), and the k LARGEST keys are the sample —
+    * inclusion probability proportional to weight, no replacement, no RNG
+    * state. Like [[datasetSplit]]/[[stratifiedSample]], the verdict is a
+    * pure projection of (id, salt): reproducible across engines, reruns
+    * and cluster sizes, and exactly twinned by a DuckDB oracle (md5 hex is
+    * bit-identical; the hex→u→ln arithmetic is one fixed double-op order).
+    *
+    * Keys are emitted floor-scaled to micro units; ties (only possible at
+    * the floor boundary) break on id, so the top-k cut is total-ordered.
+    * The selection is `orderBy(...).limit(k)` — TakeOrderedAndProject
+    * per-partition heaps, never a global sort. Rows with NULL or
+    * non-positive weight are excluded (a zero weight has zero inclusion
+    * probability; E-S is undefined there). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    // 13 hex digits = 52 bits: exact in a double, v+1 keeps u > 0
+    val v = expr(
+      s"cast(conv(substring(md5(concat(cast($idCol as string), '$salt')), 1, 13), 16, 10) as bigint)")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u", (v + lit(1L)) / lit(4503599627370496.0))
+      .withColumn("key_micro",
+        floor(lit(1000000.0) * (log(col("__u")) / col(weightCol))).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("key_micro"))
+  }
+
   // -- URL/domain analysis ----------------------------------------------------
 
   /** Per-domain URL counts over a corpus (provenance audits, domain quotas).
