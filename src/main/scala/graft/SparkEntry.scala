@@ -399,6 +399,17 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // exact heavy hitters at bounded memory (graft.agg.HeavyHitters): a
+    // Misra-Gries summary pass (O(k) mergeable state, guaranteed to hold
+    // every item above n/k) + one candidate-only exact count — two scans
+    // and a <=k-1-key shuffle where naive exact shuffles every distinct
+    // key; the oracle is the naive GROUP BY ... HAVING, so the green hash
+    // proves the bounded-memory path is exactly the exact answer
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      graft.agg.HeavyHitters.exactTop(toks, "w", k = 40)
+    }),
     // deterministic weighted sampling WITHOUT replacement (Efraimidis-
     // Spirakis): key = ln(u)/w with u derived from md5(id, salt), top-k by
     // key — inclusion proportional to n_chars, zero RNG state, the verdict
@@ -1231,6 +1242,16 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         n AS (SELECT cast(count(*) AS bigint) AS n FROM t)
+         SELECT w AS item, cast(count(*) AS bigint) AS n_occurrences
+         FROM t, n
+         GROUP BY w, n.n
+         HAVING count(*) * 40 > n.n""",
     "q_weighted_sample" ->
       """WITH b AS (
            SELECT doc_id, n_chars,
