@@ -48,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
   }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$name must be a numeric literal, got $other")
+  }
 
   private[graft] val functions: Seq[(
       org.apache.spark.sql.catalyst.FunctionIdentifier,
@@ -80,7 +91,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeNfc].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NormalizeNfc(args.head)))
+      (args: Seq[Expression]) => NormalizeNfc(args.head)),
+    // aggregates: the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression during UnresolvedFunction resolution
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => graft.functions.BloomAgg(args.head,
+        longArg(args(1), "expectedItems"), doubleArg(args(2), "fpp"))),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => graft.functions.MisraGries(args.head,
+        longArg(args(1), "k").toInt)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach(e.injectFunction)

@@ -214,6 +214,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(drift("lang") === "dropped" && drift("text") === "stable")
   }
 
+  test("bloom_agg / misra_gries aggregate from SQL text") {
+    import spark.implicits._
+    (Seq.fill(30)("hot") ++ (1 to 10).map(i => s"cold$i")).toDF("w")
+      .createOrReplaceTempView("tvf_words")
+    val mg = spark.sql("SELECT misra_gries(w, 4) AS m FROM tvf_words")
+      .collect().head.getAs[Map[String, Long]]("m")
+    assert(mg.contains("hot"), s"item above n/k must be summarized: $mg")
+    assert(mg.size <= 3)
+    val bloom = spark.sql("SELECT bloom_agg(w, 100, 0.01) AS b FROM tvf_words")
+      .collect().head.getAs[Array[Byte]]("b")
+    assert(graft.functions.BloomAgg.mightContain(bloom, "hot"))
+    assert(graft.functions.BloomAgg.mightContain(bloom, "cold7"))
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {
