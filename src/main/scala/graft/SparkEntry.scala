@@ -399,6 +399,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
+    // EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin
+    // family, graft.dedup.SetSimJoin): every doc pair whose distinct
+    // 8-gram shingle sets have Jaccard >= 0.5 — no false negatives, unlike
+    // the LSH family; integer-milli thresholds, naive-join oracle proves
+    // completeness + exactness on the real corpus
+    "q_setsim" -> ((s, dir) =>
+      graft.dedup.SetSimJoin.jaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 8, tMilli = 500)),
     // exact heavy hitters at bounded memory (graft.agg.HeavyHitters): a
     // Misra-Gries summary pass (O(k) mergeable state, guaranteed to hold
     // every item above n/k) + one candidate-only exact count — two scans
@@ -1242,6 +1251,27 @@ object SparkEntry {
            cast(floor(cast(least(nt, 200) AS double) / 200 * 500
                     + cast(least(sw, 5) AS double) / 5 * 500) AS bigint) AS quality_score
          FROM q""",
+    "q_setsim" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(toks[i:i+7], ' ')) END AS shs
+           FROM tok),
+         s AS (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             cast(len(list_intersect(a.st, b.st)) AS bigint) AS inter,
+             cast(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS bigint) AS uni
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, uni, inter * 1000 // uni AS jaccard_milli
+         FROM p WHERE inter * 1000 >= 500 * uni""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
