@@ -209,5 +209,25 @@ object GraftTableFunctions {
         graft.quality.Drift.profile(view(strArg(args(1), "after"))),
         optLongArg(args, 2, "maxNullDeltaBp").getOrElse(100L),
         optLongArg(args, 3, "maxDistinctRatioPct").getOrElse(150L)))
+    },
+    // jaccard_pairs(docs, idCol, textCol, n, tMilli)
+    fn("jaccard_pairs") { args =>
+      plan(graft.dedup.SetSimJoin.jaccardPairs(
+        view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
+        strArg(args(2), "textCol"), longArg(args(3), "n").toInt,
+        longArg(args(4), "tMilli")))
+    },
+    // heavy_hitters(table, column, k)
+    fn("heavy_hitters") { args =>
+      plan(graft.agg.HeavyHitters.exactTop(
+        view(strArg(args(0), "table")), strArg(args(1), "column"),
+        longArg(args(2), "k").toInt))
+    },
+    // weighted_sample(table, idCol, weightCol, k [, salt])
+    fn("weighted_sample") { args =>
+      plan(graft.text.TextAnalysis.weightedSample(
+        view(strArg(args(0), "table")), strArg(args(1), "idCol"),
+        strArg(args(2), "weightCol"), longArg(args(3), "k").toInt,
+        if (args.length > 4) strArg(args(4), "salt") else "wsample"))
     })
 }

@@ -228,6 +228,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(graft.functions.BloomAgg.mightContain(bloom, "cold7"))
   }
 
+  test("jaccard_pairs / heavy_hitters / weighted_sample from SQL text") {
+    import spark.implicits._
+    Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_sim_docs")
+    val pairs = spark.sql(
+      "SELECT id_a, id_b, jaccard_milli FROM jaccard_pairs('tvf_sim_docs', 'doc_id', 'text', 1, 500)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 600L)))
+
+    (Seq.fill(20)("hot") ++ (1 to 10).map(i => s"c$i")).toDF("w")
+      .createOrReplaceTempView("tvf_hh")
+    val hh = spark.sql("SELECT * FROM heavy_hitters('tvf_hh', 'w', 2)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === Map("hot" -> 20L))
+
+    (0L until 50L).map(i => (i, 3L)).toDF("id", "wt")
+      .createOrReplaceTempView("tvf_ws")
+    val ws = spark.sql(
+      "SELECT * FROM weighted_sample('tvf_ws', 'id', 'wt', 5, 'abc')")
+      .collect()
+    assert(ws.length === 5)
+    val sameAsApi = graft.text.TextAnalysis.weightedSample(
+      spark.table("tvf_ws"), "id", "wt", 5, "abc").collect()
+    assert(ws.map(_.getLong(0)).toSeq === sameAsApi.map(_.getLong(0)).toSeq)
+  }
+
   test("table functions reject non-literal or malformed options with a clear error") {
     tvfFixtures()
     val e = intercept[Exception] {
