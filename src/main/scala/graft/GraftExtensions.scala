@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
   }
+  private def exactInt(v: Long, name: String): Int = {
+    require(v >= Int.MinValue && v <= Int.MaxValue, s"$name out of int range: $v")
+    v.toInt
+  }
   private def doubleArg(e: Expression, name: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: java.math.BigDecimal, _) => v.doubleValue
@@ -103,7 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MisraGries].getName, "misra_gries"),
       (args: Seq[Expression]) => graft.functions.MisraGries(args.head,
-        longArg(args(1), "k").toInt)))
+        exactInt(longArg(args(1), "k"), "k"))))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach(e.injectFunction)

@@ -48,6 +48,12 @@ object GraftTableFunctions {
   }
   private def optLongArg(args: Seq[Expression], i: Int, name: String): Option[Long] =
     if (args.length > i) Some(longArg(args(i), name)) else None
+  /** longArg + int-range check: a silently-wrapped `.toInt` would run the
+    * operator with a drastically different parameter instead of erroring. */
+  private def exactInt(v: Long, name: String): Int = {
+    require(v >= Int.MinValue && v <= Int.MaxValue, s"$name out of int range: $v")
+    v.toInt
+  }
 
   /** The session running the query whose analysis invoked the builder. */
   private def session: SparkSession =
@@ -128,7 +134,7 @@ object GraftTableFunctions {
         view(strArg(args(0), "view")),
         keys(strArg(args(1), "partitionCols")).map(col),
         orderCols(strArg(args(2), "orderSpec")),
-        longArg(args(3), "k").toInt,
+        exactInt(longArg(args(3), "k"), "k"),
         if (args.length > 4) strArg(args(4), "rankName") else "rank"))
     },
     // apply_changelog(snapshot, changelog, keys, seqCol, opCol)
@@ -157,7 +163,7 @@ object GraftTableFunctions {
         view(strArg(args(0), "spans")),
         strArg(args(1), "startCol"), strArg(args(2), "endCol"),
         longArg(args(3), "bucketWidth"),
-        optLongArg(args, 4, "blockBuckets").getOrElse(4096L).toInt))
+        exactInt(optLongArg(args, 4, "blockBuckets").getOrElse(4096L), "blockBuckets")))
     },
     // fill_forward(obs, keys, tsUsCol, stepUs [, maxSlotsPerKey])
     fn("fill_forward") { args =>
@@ -178,28 +184,28 @@ object GraftTableFunctions {
       plan(graft.temporal.Anomaly.madFlags(
         view(strArg(args(0), "series")), keys(strArg(args(1), "keys")),
         keys(strArg(args(2), "orderCols")), strArg(args(3), "valueCol"),
-        longArg(args(4), "window").toInt, longArg(args(5), "k").toInt))
+        exactInt(longArg(args(4), "window"), "window"), exactInt(longArg(args(5), "k"), "k")))
     },
     // page_rank(edges, iters [, scale, dampPct])
     fn("page_rank") { args =>
       plan(graft.graph.PageRank.ranks(
-        view(strArg(args(0), "edges")), longArg(args(1), "iters").toInt,
+        view(strArg(args(0), "edges")), exactInt(longArg(args(1), "iters"), "iters"),
         optLongArg(args, 2, "scale").getOrElse(1000000000000L),
-        optLongArg(args, 3, "dampPct").getOrElse(85L).toInt))
+        exactInt(optLongArg(args, 3, "dampPct").getOrElse(85L), "dampPct")))
     },
     // postings(docs, idCol, textCol, minDf, maxDfPercent)
     fn("postings") { args =>
       plan(graft.text.Search.postings(
         view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
         strArg(args(2), "textCol"), longArg(args(3), "minDf"),
-        longArg(args(4), "maxDfPercent").toInt))
+        exactInt(longArg(args(4), "maxDfPercent"), "maxDfPercent")))
     },
     // bm25(docs, idCol, textCol, termsCsv, k)
     fn("bm25") { args =>
       plan(graft.text.Search.bm25TopK(
         view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
         strArg(args(2), "textCol"), keys(strArg(args(3), "terms")),
-        longArg(args(4), "k").toInt))
+        exactInt(longArg(args(4), "k"), "k")))
     },
     // profile_drift(before, after [, maxNullDeltaBp, maxDistinctRatioPct]) —
     // profiles both tables (HLL distinct mode) and diffs them
@@ -214,20 +220,20 @@ object GraftTableFunctions {
     fn("jaccard_pairs") { args =>
       plan(graft.dedup.SetSimJoin.jaccardPairs(
         view(strArg(args(0), "docs")), strArg(args(1), "idCol"),
-        strArg(args(2), "textCol"), longArg(args(3), "n").toInt,
+        strArg(args(2), "textCol"), exactInt(longArg(args(3), "n"), "n"),
         longArg(args(4), "tMilli")))
     },
     // heavy_hitters(table, column, k)
     fn("heavy_hitters") { args =>
       plan(graft.agg.HeavyHitters.exactTop(
         view(strArg(args(0), "table")), strArg(args(1), "column"),
-        longArg(args(2), "k").toInt))
+        exactInt(longArg(args(2), "k"), "k")))
     },
     // weighted_sample(table, idCol, weightCol, k [, salt])
     fn("weighted_sample") { args =>
       plan(graft.text.TextAnalysis.weightedSample(
         view(strArg(args(0), "table")), strArg(args(1), "idCol"),
-        strArg(args(2), "weightCol"), longArg(args(3), "k").toInt,
+        strArg(args(2), "weightCol"), exactInt(longArg(args(3), "k"), "k"),
         if (args.length > 4) strArg(args(4), "salt") else "wsample"))
     })
 }

@@ -41,9 +41,14 @@ object SetSimJoin {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tMilli: Long): DataFrame = {
     require(tMilli >= 1 && tMilli <= 1000, s"tMilli out of range: $tMilli")
+    // lazy localCheckpoint: the final plan references `sets` FOUR times
+    // (token df, prefix ranking, both verification joins) — unchecked,
+    // each reference re-scans and re-shingles the full corpus, and
+    // shingling dominates at corpus scale (the Components lesson)
     val sets = docs.select(col(idCol).as("id"),
         array_sort(array_distinct(word_shingles(col(textCol), n))).as("st"))
       .withColumn("sz", size(col("st")))
+      .localCheckpoint(eager = false)
     val tokDf = sets.select(explode(col("st")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val ranked = sets.select(col("id"), col("sz"), explode(col("st")).as("tok"))
@@ -56,8 +61,11 @@ object SetSimJoin {
       .select(col("tok"), col("id"), col("sz"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")) * 1000 >=
-            greatest(col("a.sz"), col("b.sz")) * tMilli)
+          // 1000L: int-typed `sz * 1000` wraps past ~2.1M distinct shingles
+          // and a wrapped negative product would silently DROP a qualifying
+          // pair — the exact false negative this module promises not to have
+          least(col("a.sz"), col("b.sz")) * lit(1000L) >=
+            greatest(col("a.sz"), col("b.sz")) * lit(tMilli))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand

@@ -104,7 +104,12 @@ case class MisraGries(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      // length-prefixed raw UTF-8, not writeUTF: items are arbitrary
+      // column values and writeUTF throws past 64 KB
+      val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -112,7 +117,12 @@ case class MisraGries(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach(_ => m.update(in.readUTF(), in.readLong()))
+    (1 to n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     m
   }
 

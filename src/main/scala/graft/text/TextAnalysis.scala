@@ -402,9 +402,12 @@ object TextAnalysis {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k out of range: $k")
-    // 13 hex digits = 52 bits: exact in a double, v+1 keeps u > 0
-    val v = expr(
-      s"cast(conv(substring(md5(concat(cast($idCol as string), '$salt')), 1, 13), 16, 10) as bigint)")
+    // 13 hex digits = 52 bits: exact in a double, v+1 keeps u > 0.
+    // Column API, not an expr() string: a quoted salt or a column name
+    // needing backticks must neither break the parse nor inject into it
+    val v = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long")
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__u", (v + lit(1L)) / lit(4503599627370496.0))
       .withColumn("key_micro",
