@@ -428,6 +428,12 @@ object SparkEntry {
       TextAnalysis.weightedSample(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "n_chars",
         k = 100)),
+    // per-doc unigram Shannon entropy in integer micro-nats — the
+    // diversity/repetitiveness quality signal (keyword-stuffed pages score
+    // low with zero verbatim n-gram repeats); per-term contributions
+    // floored on their own (doc, token) row, integer-summed per doc
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(s.read.parquet(s"$dir/documents.parquet"))),
     // PMI collocation mining (graft.text.Collocations): adjacent token
     // pairs scored ln(p(a,b)/(p(a)p(b))) in floor'd integer milli-units —
     // association mining for phrase vocabularies / tokenizer merges; one
@@ -1293,6 +1299,20 @@ object SparkEntry {
            FROM b)
          SELECT doc_id, n_chars, key_micro FROM k
          ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    "q_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> t <> '') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, cast(len(toks) AS bigint) AS n_tokens,
+                 unnest(toks) AS tok
+               FROM tok WHERE len(toks) > 0),
+         c AS (SELECT doc_id, n_tokens, tok, cast(count(*) AS bigint) AS c
+               FROM t GROUP BY 1, 2, 3)
+         SELECT doc_id, n_tokens,
+           cast(sum(cast(floor(1000000.0 * (c / n_tokens) * ln(n_tokens / cast(c AS double))) AS bigint)) AS bigint) AS h_micro
+         FROM c GROUP BY 1, 2""",
     "q_pmi" ->
       """WITH tok AS (
            SELECT list_filter(string_split_regex(lower(text), '\s+'),

@@ -417,6 +417,43 @@ object TextAnalysis {
       .select(col(idCol), col(weightCol), col("key_micro"))
   }
 
+  /** Per-document unigram Shannon entropy, in integer micro-nats — the
+    * diversity/repetitiveness quality signal [[repetitionFeatures]]'
+    * duplicate fractions don't capture: a keyword-stuffed or
+    * template-generated page has LOW entropy even when no single n-gram
+    * repeats verbatim; natural prose sits near the entropy of its
+    * vocabulary. H = Σ (c/n)·ln(n/c) over the doc's token frequencies.
+    *
+    * Determinism recipe (same as BM25/PMI): each TERM's contribution is
+    * floor-scaled to an integer on its own (doc, token) row — one fixed
+    * double-op order, mirrored by the oracle — and the document's entropy
+    * is the exact integer SUM of those rows, so no double ever crosses
+    * rows and the result is reshuffle-exact. The per-term floor biases H
+    * down by < |vocab(doc)| µnats: irrelevant at quality-filter scale.
+    *
+    * Shuffle shape: one (doc, token) hash aggregation (map-side combined),
+    * one doc-id aggregation of the integer contributions. Token counts
+    * ride a join against the per-doc total rather than a window — both
+    * sides are already (doc, ...) rows. Docs with no tokens emit nothing
+    * (no distribution, no entropy). */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("toks"))
+    val totals = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .join(totals, "doc_id")
+      .withColumn("__contrib",
+        floor(lit(1000000.0) * (col("c") / col("n_tokens")) *
+          log(col("n_tokens") / col("c").cast("double"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("__contrib")).as("h_micro"))
+  }
+
   // -- URL/domain analysis ----------------------------------------------------
 
   /** Per-domain URL counts over a corpus (provenance audits, domain quotas).
