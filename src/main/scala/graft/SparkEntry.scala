@@ -831,17 +831,27 @@ object SparkEntry {
     // (graft.graph.PageRank; inputs lazily checkpointed once, referenced
     // per iteration)
     "q_pagerank" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val or = s.read.parquet(s"$dir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(or, li("l_orderkey") === or("o_orderkey"))
+      // round 7: the edge DERIVATION rides the bucketed fact twins (the
+      // same ingest-prepaid tables as q_tpch_bucketed_revenue), so the
+      // lineitem⋈orders join runs with zero exchange and zero sort; the
+      // merge hint pins the SMJ for the same reason as the revenue twin
+      // (a size-estimate broadcast would discard the prepaid clustering).
+      // The pair set is distinct and the 's'/'c' namespaces are disjoint,
+      // so the symmetrized union is provably duplicate-free —
+      // assumeDistinct skips ranks' internal dedup exchange (a second
+      // full-edge-set shuffle that rediscovered what this derivation
+      // already guarantees). Same rows as the round-6 formulation; the
+      // unrolled DuckDB oracle is unchanged and still hash-matches.
+      val (or0, li0) = Tpch.bucketedFactFrames(s, dir)
+      val li = li0.select(col("l_orderkey"), col("l_suppkey"))
+      val or = or0.select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.hint("merge").join(or, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("s"), col("l_suppkey")).as("a"),
           concat(lit("c"), col("o_custkey")).as("b"))
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      graft.graph.PageRank.ranks(edges, iters = 5)
+      graft.graph.PageRank.ranks(edges, iters = 5, assumeDistinct = true)
     }),
     // profile drift between two snapshots (graft.quality.Drift): the before
     // profile is the raw documents table, the after is a deterministic

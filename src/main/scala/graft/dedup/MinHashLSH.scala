@@ -89,9 +89,28 @@ object MinHashLSH {
     p.verifyJaccard match {
       case None => pairs
       case Some(threshold) =>
-        val sh = docs.select(col(idCol).as("id"),
-          array_distinct(shingles(col(textCol), p.shingleWords)).as("sh"))
-        pairs
+        // Verify only the CANDIDATES' shingle sets. The round-6 form joined
+        // the raw (id, shingles) projection twice, so the whole corpus was
+        // scanned and re-shingled two more times to verify a sparse pair
+        // set. Now: the pair set is localCheckpointed once (it is referenced
+        // three times below — by both join sides and the id set; without the
+        // checkpoint each reference would re-run the full LSH lineage), the
+        // candidate id set prunes the docs scan with a broadcast semi-join
+        // BEFORE any shingling, and the two attach joins run over that
+        // candidate-sized set. One extra corpus scan total, shingling paid
+        // only for candidates (guide §2.3: decide on small rows, compute
+        // heavy derivations once).
+        val pr = pairs.localCheckpoint(eager = false)
+        val ids = pr.select(col("id_a").as("__cid"))
+          .union(pr.select(col("id_b").as("__cid"))).distinct()
+        val sh = docs
+          .join(broadcast(ids), col(idCol) === col("__cid"), "left_semi")
+          .select(col(idCol).as("id"),
+            array_distinct(shingles(col(textCol), p.shingleWords)).as("sh"))
+          // checkpointed too: it feeds BOTH attach joins — materialized once
+          // (one corpus scan), read twice at candidate size
+          .localCheckpoint(eager = false)
+        pr
           .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
           .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

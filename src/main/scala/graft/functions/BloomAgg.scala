@@ -98,6 +98,20 @@ object BloomAgg {
     Bridge.column(
       BloomAgg(Bridge.expression(c), expectedItems, fpp).toAggregateExpression())
 
+  /** Executor-side probe used by [[graft.layout.BloomIndex.selectFilesDistributed]]:
+    * deserialize the row's bloom ONCE, short-circuit on the first firing key
+    * — the per-row twin of the driver loop in `selectFiles`, same hashing
+    * contract as [[BloomAgg.update]]. */
+  def mightContainAny(bloomBytes: Array[Byte], keys: Array[Any]): Boolean = {
+    val bf = read(bloomBytes)
+    var i = 0
+    while (i < keys.length) {
+      if (mightContain(bf, keys(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** Deserialize a bloom once; probe it many times with [[mightContain]].
     * Callers probing k keys against one filter must not pay k
     * deserializations of a multi-KB bitset. */

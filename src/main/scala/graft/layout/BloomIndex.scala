@@ -15,12 +15,15 @@ import graft.functions.BloomAgg
   * that's O(1 + fpp·files) opens out of 100 k.
   *
   * This is the Parquet bloom-filter / Delta bloom-index story lifted to the
-  * manifest level: like [[Skipping]], the index is ONE small parquet beside
-  * the data dir (one row per file: file, n_rows, bloom bytes), probed on the
-  * driver at the same bounded one-row-per-file granularity Iceberg/Delta
-  * manifests are. A 1 M-key 1 % bloom is ~1.2 MB; 100 k files ≈ 120 GB of
-  * blooms is why real systems shard the manifest — here one file suffices
-  * and the write is one scan + one shuffle of (file, bloom) partials.
+  * manifest level: like [[Skipping]], the index is a small parquet table
+  * beside the data dir (one row per file: file, n_rows, bloom bytes) at the
+  * same bounded one-row-per-file granularity Iceberg/Delta manifests are.
+  * A 1 M-key 1 % bloom is ~1.2 MB; 100 k files ≈ 120 GB of blooms — so the
+  * probe runs DISTRIBUTED by default ([[selectFilesDistributed]]: the
+  * manifest filters where it lies, only surviving file names reach the
+  * driver) and the write shards the manifest across reduce tasks (no
+  * single-writer funnel); the write is one scan + one shuffle of
+  * (file, bloom) partials.
   *
   * Soundness: blooms have no false negatives, so pruning never loses a row;
   * the residual equality filter in [[lookup]] removes false-positive FILES'
@@ -49,7 +52,9 @@ object BloomIndex {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         BloomAgg.bloomAgg(col(column), expectedItemsPerFile, fpp).as("bloom"))
-      .coalesce(1)
+      // no coalesce(1): each reduce task writes its own manifest shard, so a
+      // 100 k-file table's ~120 GB of blooms never funnels through one
+      // writer (the index is a directory like any table; readers list it)
       .write.mode("overwrite").parquet(indexPath(dir, column))
   }
 
@@ -71,12 +76,36 @@ object BloomIndex {
     (kept, rows.length.toLong)
   }
 
+  /** Distributed twin of [[selectFiles]]: the manifest is FILTERED where it
+    * lies — each executor task deserializes and probes its own manifest
+    * rows' blooms ([[graft.functions.BloomMightContainAny]], same hashing
+    * and same per-file short-circuit as the driver loop) — and only the
+    * surviving file NAMES are collected. The driver never holds a bloom:
+    * at the 100 k-file design point the driver form would collect ~120 GB
+    * of filter payloads (guide §5: the driver should do almost no data
+    * work); this form collects kilobytes of paths. Same kept set as
+    * [[selectFiles]] by construction (BloomIndexSpec pins the parity law). */
+  def selectFilesDistributed(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Any]): (Seq[String], Long) = {
+    require(keys.nonEmpty, "give at least one lookup key")
+    val manifest = spark.read.parquet(indexPath(dir, column))
+    val kept = manifest
+      .filter(graft.functions.BloomProbeFunctions
+        .bloom_might_contain_any(col("bloom"), keys))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    (kept, manifest.count())
+  }
+
   /** Equality-lookup read that opens only bloom-positive files. The residual
     * IN filter keeps the result exactly equal to
-    * `spark.read.parquet(dir).filter(col(column).isin(keys))` at any fpp. */
+    * `spark.read.parquet(dir).filter(col(column).isin(keys))` at any fpp.
+    * File pruning runs DISTRIBUTED ([[selectFilesDistributed]]) so no bloom
+    * payload ever collects to the driver; the driver-side [[selectFiles]]
+    * remains for manifest-less/debug probing of small indexes. */
   def lookup(spark: SparkSession, dir: String, column: String,
       keys: Seq[Any]): DataFrame = {
-    val (files, _) = selectFiles(spark, dir, column, keys)
+    val (files, _) = selectFilesDistributed(spark, dir, column, keys)
     if (files.isEmpty) {
       val schema = spark.read.parquet(dir).schema
       spark.createDataFrame(

@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions.col
   *   - swap:   write to `<dir>__compact`, rename dir aside, rename tmp in,
   *             delete the old — readers never see a half-written dir.
   *   - stats:  an existing [[Skipping]] manifest is rebuilt after the swap
-  *             (file identities changed, so incremental update can't help).
+  *             (file identities changed, so incremental update can't help);
+  *             so is every [[BloomIndex]] sibling (`<dir>__bloom_<col>`) —
+  *             a surviving index would reference the dead pre-compaction
+  *             files (fail-fast normally; silent row loss under
+  *             ignoreMissingFiles).
   */
 object Compact {
 
@@ -90,7 +94,62 @@ object Compact {
     Fs.deleteRecursively(aside)
 
     if (manifestCols.nonEmpty) Skipping.writeStats(spark, dir, manifestCols)
+    // per-file bloom indexes (<dir>__bloom_<col>) reference the files just
+    // replaced: left alone they fail fast on the dead paths (or, with
+    // spark.sql.files.ignoreMissingFiles=true, silently lose rows — the
+    // exact hazard SparkEntry.ensureZOrderedEvents documents). Rebuild them
+    // over the new files, like the stats manifest above. Sizing note: the
+    // original expectedItemsPerFile is not recorded in the index, so the
+    // rebuild sizes each filter to the compacted layout's actual
+    // rows-per-file (ceil(total/nOut files)) — what writeIndex's contract
+    // asks for ("size to the layout's target rows-per-file").
+    val bloomCols = bloomColsOf(dir)
+    if (bloomCols.nonEmpty) {
+      val rows = spark.read.parquet(dir).count()
+      val perFile = math.max(1L, rows / math.max(1, dataFiles(dir).size) + 1)
+      bloomCols.foreach(c =>
+        BloomIndex.writeIndex(spark, dir, c, expectedItemsPerFile = perFile))
+    }
     CompactResult(rewritten = true, files.size, dataFiles(dir).size, bytes)
+  }
+
+  /** The columns with a [[BloomIndex]] sibling dir (`<dir>__bloom_<col>`) —
+    * the indexes a rewrite invalidates (file identities changed). */
+  private def bloomColsOf(dir: String): Seq[String] = {
+    val base = Paths.get(dir.stripSuffix("/"))
+    val prefix = base.getFileName.toString + "__bloom_"
+    val parent = base.toAbsolutePath.getParent
+    if (parent == null || !Files.isDirectory(parent)) Nil
+    else Fs.listDir(parent)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .map(_.getFileName.toString.stripPrefix(prefix))
+  }
+
+  /** Reader half of the swap contract. [[compact]]'s aside-rename swap keeps
+    * a COMPLETE directory visible at every instant except the sub-ms window
+    * between its two renames, where `dir` is momentarily absent — a reader
+    * listing exactly then sees "path does not exist", never a partial file
+    * set (the incoming dir was fully written and committed before the swap
+    * started). This helper closes that window: retry the listing with
+    * backoff until the swap's second rename lands. On a cluster the swap is
+    * a metadata commit (snapshot pointer) and the window does not exist;
+    * this is the documented local-fs contract, pinned by CompactSpec's
+    * mid-swap reader test. */
+  def readRetrying(spark: SparkSession, dir: String, attempts: Int = 40,
+      backoffMs: Long = 25): org.apache.spark.sql.DataFrame = {
+    require(attempts >= 1, s"attempts out of range: $attempts")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return spark.read.parquet(dir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          last = e
+          Thread.sleep(backoffMs)
+      }
+      i += 1
+    }
+    throw last
   }
 
   /** The columns an existing [[Skipping]] manifest at `dir` indexes (from

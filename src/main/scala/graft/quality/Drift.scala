@@ -47,8 +47,11 @@ object Drift {
         // coalesce: sum over an EMPTY table is NULL, but it has 0 nulls
         coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"__nulls_${f.name}"),
+        // rsd passed EXPLICITLY: the header advertises 2 % (and the ratio-
+        // threshold guidance assumes it); Spark's default is 0.05, under
+        // which a ~110 % threshold could false-flag from sketch error alone
         (if (exactDistinct) countDistinct(col(f.name))
-         else approx_count_distinct(col(f.name))).as(s"__dist_${f.name}"))
+         else approx_count_distinct(col(f.name), 0.02)).as(s"__dist_${f.name}"))
     }.toSeq
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = fields.map { f =>

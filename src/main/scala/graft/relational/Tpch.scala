@@ -258,6 +258,19 @@ object Tpch {
     s
   }
 
+  /** The bucketed fact twins as DataFrames, bound to the scoped clone
+    * session (sort-propagation flag live) — for ANY consumer whose first
+    * join is on the orderkey, not just [[revenueByPriorityBucketed]]: the
+    * scans arrive hash-clustered and per-bucket sorted, so an orderkey SMJ
+    * over them plans zero exchange and zero sort (q_pagerank's edge
+    * derivation rides this). Same caller-session contract as
+    * [[revenueByPriorityBucketed]]: the caller's session is never mutated. */
+  def bucketedFactFrames(s0: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (orders, lineitem) = ensureBucketedFacts(s0, dir)
+    val s = scopedBucketedSession(s0)
+    (s.table(orders), s.table(lineitem))
+  }
+
   /** [[revenueByPriority]] over the BUCKETED fact tables — the graded proof
     * of the co-located-join story: orders⋈lineitem is an SMJ with ZERO
     * exchange and ZERO sort (the bucketed scans provide hash clustering and
@@ -322,8 +335,13 @@ object Tpch {
     * static AND dynamic — work. The pre-write `repartition(o_month)` gives
     * one task per month, so each partition dir is ONE right-sized file
     * instead of tasks×months fragments (the [[graft.layout.Compact]]
-    * small-file problem avoided at write time). `_SUCCESS` (written last by
-    * the commit protocol) is the rerun-idempotence marker. */
+    * small-file problem avoided at write time). One file per partition is a
+    * FIXTURE-SCALE choice, not an ingest recommendation: at 100 TB a month
+    * of orders is far past one file, and the production form keys the
+    * repartition on (o_month, salt 0..k−1) with k sized to the target file
+    * bytes, so each dir holds k right-sized files and no single writer task
+    * owns a whole month. `_SUCCESS` (written last by the commit protocol) is
+    * the rerun-idempotence marker. */
   def ensurePartitionedOrders(s: SparkSession, dir: String): (String, String) = synchronized {
     import org.apache.spark.sql.expressions.Window
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")

@@ -33,14 +33,20 @@ object Series {
       maxSlotsPerKey: Long = 1L << 20): DataFrame = {
     require(stepUs > 0, s"stepUs out of range: $stepUs")
     require(maxSlotsPerKey > 0, s"maxSlotsPerKey out of range: $maxSlotsPerKey")
-    val lo = expr(s"(min($tsUsCol) + ${stepUs}L - 1L) div ${stepUs}L")
-    val hi = expr(s"max($tsUsCol) div ${stepUs}L")
     def keyMsg(what: String) = concat(
       lit(s"Series.grid: $what (key="),
       concat_ws(",", keys.map(k => col(k).cast("string")): _*),
       lit(")"))
+    // the caller-supplied ts column enters ONLY through the Column API
+    // (col(tsUsCol)); the `div` arithmetic interpolates nothing but the
+    // numeric stepUs over internal __-aliases — a column name needing
+    // backticks can't break the parse and an expression string can't be
+    // smuggled in (the expr-injection class commit ff6d2e6 fixed in
+    // weightedSample; reachable from SQL via the fill_forward TVF)
     obs.groupBy(keys.map(col): _*)
-      .agg(lo.as("__lo"), hi.as("__hi"), min(col(tsUsCol)).as("__min_ts"))
+      .agg(min(col(tsUsCol)).as("__min_ts"), max(col(tsUsCol)).as("__max_ts"))
+      .withColumn("__lo", expr(s"(__min_ts + ${stepUs}L - 1L) div ${stepUs}L"))
+      .withColumn("__hi", expr(s"__max_ts div ${stepUs}L"))
       .withColumn("__slots",
         when(col("__min_ts") < 0, raise_error(keyMsg(
           "negative timestamps break the ceil/floor slot arithmetic — shift the epoch"))
@@ -59,12 +65,29 @@ object Series {
     * carrying the latest observation at-or-before it (fill-forward). Output:
     * `keys`, `grid_us`, and every non-key/non-ts column of `obs` filled
     * as-of. By construction the grid starts at each key's first observation,
-    * so every point has a fill. */
+    * so every point has a fill.
+    *
+    * Duplicate (key, ts) observations: with `tieBreak` empty, which
+    * duplicate's payload fills is PARTITION-ORDER-DEPENDENT (the same hazard
+    * [[counterIncrease]]'s tieBreak addresses) — the unique-(key, ts)
+    * precondition is on the caller. Pass the natural unique id columns as
+    * `tieBreak` when timestamps can collide: per (key, ts) the row with the
+    * GREATEST tieBreak tuple wins, deterministically under any reshuffle. */
   def fillForward(obs: DataFrame, keys: Seq[String], tsUsCol: String,
-      stepUs: Long, maxSlotsPerKey: Long = 1L << 20): DataFrame =
+      stepUs: Long, maxSlotsPerKey: Long = 1L << 20,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val build = if (tieBreak.isEmpty) obs else {
+      // one winner per (key, ts): greatest tieBreak tuple — dedup BEFORE the
+      // as-of union so the fill's running last() never sees a tied pair
+      val w = Window.partitionBy((keys :+ tsUsCol).map(col): _*)
+        .orderBy(tieBreak.map(c => col(c).desc): _*)
+      obs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     TemporalJoin.asofJoin(
       grid(obs, keys, tsUsCol, stepUs, maxSlotsPerKey),
-      obs, keys, probeTs = "grid_us", buildTs = tsUsCol)
+      build, keys, probeTs = "grid_us", buildTs = tsUsCol)
+  }
 
   /** Monotone-counter increase with reset detection: per consecutive sample
     * pair (ordered by `tsCol` within `keys`), the counter's growth — or,

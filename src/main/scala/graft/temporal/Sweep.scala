@@ -61,12 +61,18 @@ object Sweep {
       bucketWidth: Long, blockBuckets: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth out of range: $bucketWidth")
     require(blockBuckets > 0, s"blockBuckets out of range: $blockBuckets")
+    // caller-supplied bound columns enter ONLY through the Column API; the
+    // `div` arithmetic interpolates nothing but numbers over internal
+    // __-aliases (a backtick-needing name can't break the parse, an
+    // expression string can't be smuggled in — reachable from SQL via the
+    // active_intervals TVF; same fix as Series.grid / commit ff6d2e6)
     val deltas = spans
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) >= col(startCol))
+      .select(col(startCol).as("__s"), col(endCol).as("__e"))
       .select(explode(array(
-        struct(expr(s"$startCol div ${bucketWidth}L").as("b"), lit(1L).as("d")),
-        struct((expr(s"$endCol div ${bucketWidth}L") + 1L).as("b"),
+        struct(expr(s"__s div ${bucketWidth}L").as("b"), lit(1L).as("d")),
+        struct((expr(s"__e div ${bucketWidth}L") + 1L).as("b"),
           lit(-1L).as("d")))).as("__x"))
       .select(col("__x.b").as("__b"), col("__x.d").as("__d"))
     // level 1: one row per non-empty bucket (partial agg combines map-side)

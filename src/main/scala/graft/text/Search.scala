@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text search primitives over the documents table: a relational
@@ -19,9 +18,16 @@ import org.apache.spark.sql.functions._
   *
   * Shuffle shape: tf = groupBy(term, doc) hashes BOTH keys — balanced under
   * zipfian terms (a by-term-only layout would hand one task the full
-  * stopword share of the corpus); df rides a window over the already
-  * tf-aggregated rows (distinct (term, doc) pairs, orders of magnitude
-  * smaller than token occurrences).
+  * stopword share of the corpus); df = groupBy(term).count() over the
+  * already tf-aggregated rows — map-side combinable, so each reducer
+  * receives one partial per (term, task), never a stopword's full posting
+  * list (the round-6 formulation attached df with a by-term WINDOW, which
+  * re-shuffled every (term, doc) row of a stopword to ONE reducer before
+  * the df cutoff could drop it — the same hot-term straggler the tf stage
+  * avoids, reintroduced one stage later). The df cutoffs are applied to the
+  * VOCABULARY (one row per surviving term) before it is broadcast back onto
+  * the tf rows, so stopword tf rows die in place with zero extra shuffle —
+  * the broadcast is vocabulary-bounded, not corpus-bounded.
   *
   * BM25 is two passes, zero data-sized shuffles: one scalar aggregate for
   * (N, Σdl, df per query term), one scoring scan + top-k
@@ -50,12 +56,18 @@ object Search {
     require(maxDfPercent >= 1 && maxDfPercent <= 100,
       s"maxDfPercent out of range: $maxDfPercent")
     val n = docs.select(count(lit(1)).as("n"))
-    docs.select(col(idCol).as("doc_id"), explode(toks(textCol)).as("term"))
+    val tf = docs.select(col(idCol).as("doc_id"), explode(toks(textCol)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // df per term: map-side-combinable aggregate (no by-term window — see
+    // header), cutoffs applied while the set is one row per term, THEN
+    // broadcast onto the tf rows (which stay (term, doc)-hash-distributed;
+    // dropped terms' tf rows are filtered in place by the inner join)
+    val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") >= minDf && col("df") * 100 <= col("n") * maxDfPercent)
+      .select(col("term"), col("df"))
+    tf.join(broadcast(vocab), "term")
       .select(col("term"), col("doc_id"), col("tf"), col("df"))
   }
 
@@ -90,15 +102,21 @@ object Search {
     require(k >= 1, s"k out of range: $k")
     val st = bm25Stats(docs, textCol, terms)
     val avgdl = st.sumDl.toDouble / st.n
+    // ONE compiled traversal of the token array counts every query term
+    // (graft.functions.TermCounts) — the round-6 form ran one interpreted
+    // higher-order `filter` scan per term (k passes, never codegen'd)
     val base = docs.select(col(idCol).as("doc_id"), toks(textCol).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
-    val contribs = terms.map { q =>
+      .withColumn("__tc",
+        graft.functions.TermCountsFunctions.term_counts(col("__toks"), terms))
+    val contribs = terms.zipWithIndex.map { case (q, qi) =>
       val dfq = st.df(q)
       // idf is a scalar: pre-folded here with the same IEEE ops an engine
       // folding the literal expression performs
       val preIdf = 1000.0 * math.log(
         ((st.n - dfq).toDouble + 0.5) / (dfq.toDouble + 0.5) + 1)
-      val tf = size(filter(col("__toks"), x => x === q)).cast("long")
+      val tf = element_at(col("__tc"), qi + 1) // bigint — same value as the
+        // per-term filter-count it replaces, so every score bit matches
       floor(lit(preIdf) * (tf * lit(k1 + 1)) /
         (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / lit(avgdl))))
         .cast("long")

@@ -77,6 +77,38 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("parity law: distributed probe keeps exactly the driver probe's file set") {
+    // selectFilesDistributed must be a drop-in for selectFiles: same blooms,
+    // same hashing, same short-circuit — only WHERE the probe runs differs
+    // (executors filter the manifest; the driver never holds a bloom)
+    val dir = writeScattered(8192, 16)
+    val probes = Seq(
+      Seq[Any](12L, 4077L, 8000L),          // present longs
+      Seq[Any](-5L, 999999L),               // all absent
+      (0L until 40L).toSeq: Seq[Any])       // wide mixed set
+    for (keys <- probes) {
+      val (driverKept, driverTotal) = BloomIndex.selectFiles(spark, dir, "id", keys)
+      val (distKept, distTotal) = BloomIndex.selectFilesDistributed(spark, dir, "id", keys)
+      assert(distKept.sorted === driverKept.sorted, s"keys $keys")
+      assert(distTotal === driverTotal)
+    }
+    // and over string keys (UTF-8 hashing contract shared by both probes)
+    val sdir = Files.createTempDirectory("graft-bloom-s").toString + "/t"
+    (0 until 512).map(i => (s"k$i", i)).toDF("name", "v")
+      .repartition(4, col("name")).write.parquet(sdir)
+    BloomIndex.writeIndex(spark, sdir, "name", expectedItemsPerFile = 1024)
+    val sKeys = Seq[Any]("k1", "k200", "café", "absent")
+    assert(BloomIndex.selectFilesDistributed(spark, sdir, "name", sKeys)._1.sorted ===
+      BloomIndex.selectFiles(spark, sdir, "name", sKeys)._1.sorted)
+  }
+
+  test("sharded index write (no coalesce) keeps one manifest row per data file") {
+    val dir = writeScattered(2048, 8)
+    val manifest = spark.read.parquet(BloomIndex.indexPath(dir, "id"))
+    assert(manifest.count() === 8L)
+    assert(manifest.select("file").distinct().count() === 8L)
+  }
+
   test("effectiveness: point lookup opens few files where min/max keeps all") {
     val dir = writeScattered(8192, 16)
     val keys = Seq(12L, 4077L, 8000L)

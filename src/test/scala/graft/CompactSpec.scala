@@ -45,6 +45,58 @@ class CompactSpec extends SparkSpec {
       Compact.dataFiles(dir).map(_.getFileName.toString).sorted === names)
   }
 
+  test("mid-swap reader with the retry contract never sees a missing dir or partial set") {
+    // deterministically reproduce the swap's only unsafe instant — the
+    // window between compact()'s two renames, where `dir` is absent — and
+    // prove the documented reader contract (Compact.readRetrying) rides it
+    // out to a COMPLETE post-swap file set
+    val dir = tmpDir()
+    rows(2048).repartition(8).write.parquet(dir)
+    val tmp = dir + "__compact"
+    rows(2048).coalesce(2).write.parquet(tmp) // the fully-committed incoming dir
+    val aside = java.nio.file.Paths.get(dir + "__gc")
+    Files.move(java.nio.file.Paths.get(dir), aside) // rename 1: dir is now ABSENT
+    val reader = scala.concurrent.Future {
+      Compact.readRetrying(spark, dir).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    // plain read in the window fails — the hazard being closed
+    intercept[org.apache.spark.sql.AnalysisException] { spark.read.parquet(dir) }
+    Thread.sleep(100) // let the retrying reader observe the absent-dir window
+    Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir)) // rename 2
+    graft.util.Fs.deleteRecursively(aside)
+    val got = scala.concurrent.Await.result(reader, scala.concurrent.duration.Duration("30s"))
+    assert(got.length === 2048, s"mid-swap reader saw ${got.length} of 2048 rows")
+  }
+
+  test("compact rebuilds sibling bloom indexes (stale-path regression)") {
+    // a per-file bloom index references the exact part files compaction
+    // replaces: left stale it fails fast on dead paths (or silently loses
+    // rows under ignoreMissingFiles). compact() must rebuild it like the
+    // stats manifest.
+    val dir = tmpDir()
+    rows(4096).repartition(32, col("id")).write.parquet(dir)
+    graft.layout.BloomIndex.writeIndex(spark, dir, "id", expectedItemsPerFile = 512)
+    val staleFiles = spark.read.parquet(graft.layout.BloomIndex.indexPath(dir, "id"))
+      .select("file").collect().map(_.getString(0)).toSet
+    val bytes = Compact.dataFiles(dir).map(Files.size).sum
+    val r = Compact.compact(spark, dir, targetFileBytes = bytes / 2 + 1)
+    assert(r.rewritten)
+    // the index now references only LIVE files...
+    val newFiles = spark.read.parquet(graft.layout.BloomIndex.indexPath(dir, "id"))
+      .select("file").collect().map(_.getString(0)).toSet
+    val liveNames = Compact.dataFiles(dir).map(_.getFileName.toString).toSet
+    assert(newFiles.forall(f => liveNames.exists(n => f.endsWith(n))),
+      s"index references non-live files:\n${newFiles.mkString("\n")}")
+    assert(newFiles !== staleFiles, "index was not rebuilt")
+    // ...and the lookup law still holds over the compacted layout
+    val keys = Seq[Any](7L, 1234L, 999999L)
+    val got = graft.layout.BloomIndex.lookup(spark, dir, "id", keys)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("id").isin(keys: _*))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want)
+  }
+
   test("clustered compaction restores pruning after appends erode the layout") {
     val dir = tmpDir()
     ZOrder.writeZOrdered(rows(8192), col("a"), col("b"), dir, nFiles = 16)

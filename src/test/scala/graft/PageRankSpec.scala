@@ -88,4 +88,36 @@ class PageRankSpec extends SparkSpec {
       Seq((s"n$i", s"n${(i * 7 + 1) % 40}"), (s"n${(i * 7 + 1) % 40}", s"n$i")))
     assert(run(base, 5, parts = 2) === run(base, 5, parts = 17))
   }
+
+  test("assumeDistinct on a provably-distinct edge set is bit-identical to the default") {
+    val base = (0 until 25).flatMap(i =>
+      Seq((s"u$i", s"v${(i * 11 + 2) % 25}"), (s"v${(i * 11 + 2) % 25}", s"u$i"))).distinct
+    val df = base.toDF("src", "dst").repartition(5)
+    val want = PageRank.ranks(df, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = PageRank.ranks(df, 4, assumeDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("plan: prepaid edge layout — per-iteration cost is one exchange, two SMJs") {
+    // the loop-invariant (src, dst, outdeg) set and the node set are
+    // repartitioned+sorted BEFORE their localCheckpoint, which captures the
+    // layout into the LogicalRDD — so each iteration's two joins read
+    // pre-partitioned, pre-sorted invariant sides and only the rank-update
+    // path shuffles (the dst aggregation). The round-6 plan paid 3 SMJs and
+    // 2 exchanges per iteration (edges⋈outdeg re-joined and re-sorted every
+    // time); a count above the bound here is that regression returning.
+    val edges = (0 until 30).flatMap(i =>
+      Seq((s"a$i", s"b${(i * 3 + 1) % 30}"), (s"b${(i * 3 + 1) % 30}", s"a$i")))
+      .toDF("src", "dst")
+    graft.tools.PlanPin.withStaticPlans(spark) {
+      val iters = 4
+      val plan = PageRank.ranks(edges, iters).queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val smjs = "SortMergeJoin".r.findAllIn(plan).length
+      assert(smjs <= 2 * iters, s"SMJ count $smjs > ${2 * iters}:\n$plan")
+      assert(exchanges <= iters + 1, s"exchange count $exchanges > ${iters + 1}:\n$plan")
+    }
+  }
 }

@@ -81,6 +81,31 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === expectedOrder)
   }
 
+  test("postings: no window operator in the plan (df straggler regression pin)") {
+    // the round-6 plan attached df with count() over (partition by term) —
+    // every (term, doc) row of a stopword re-shuffled to ONE reducer before
+    // the cutoff could drop it. df is now a map-side-combinable aggregate
+    // attached via broadcast; a Window reappearing here is the regression.
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = Search.postings(docs, "doc_id", "text", minDf = 1, maxDfPercent = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"postings plan regained a window:\n$plan")
+  }
+
+  test("term_counts kernel: identical counts to the per-term HOF filter form") {
+    val docs = Seq(
+      (1L, "a b a c a"), (2L, ""), (3L, "c c b"), (4L, "zz a zz")).toDF("doc_id", "text")
+    val toks = graft.text.TextAnalysis.tokens(lower(col("text")))
+    val terms = Seq("a", "b", "zz", "absent")
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.TermCountsFunctions.term_counts(toks, terms).as("tc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = docs.select(col("doc_id") +: terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t)).cast("long").as(s"c$i") }: _*)
+      .collect().map(r => r.getLong(0) -> terms.indices.map(i => r.getLong(i + 1))).toMap
+    assert(kernel === hof)
+  }
+
   test("bm25: rare terms outweigh common ones; tf saturates under k1") {
     val docs = (Seq(
       (1L, "rare filler filler filler"),

@@ -69,6 +69,33 @@ class SeriesSpec extends SparkSpec {
     assert(got.contains(("a", 300L, 30L)))
   }
 
+  test("grid: a column name needing backticks is handled (no expr-string interpolation)") {
+    // regression pin for the ADVICE expr-injection class (commit ff6d2e6's
+    // weightedSample fix): the caller-supplied ts column now enters only via
+    // the Column API, so names with spaces/dashes/keywords parse fine
+    val obs = Seq(("a", 100L), ("a", 305L)).toDF("k", "ts col-1")
+    val g = Series.grid(obs, Seq("k"), "ts col-1", stepUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(g === Seq(("a", 100L), ("a", 200L), ("a", 300L)))
+  }
+
+  test("fillForward: tieBreak makes duplicate-(key, ts) fills deterministic") {
+    // two observations at the SAME (key, ts) with different payloads: with
+    // tieBreak on the unique id, the GREATEST id's payload must fill — under
+    // any partitioning
+    val obs = Seq(
+      ("a", 100L, 1L, "first"), ("a", 100L, 2L, "second"),
+      ("a", 250L, 3L, "third")).toDF("k", "ts_us", "id", "v")
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Series.fillForward(obs.repartition(parts), Seq("k"), "ts_us",
+          stepUs = 100L, tieBreak = Seq("id"))
+        .select("k", "grid_us", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got === Seq(("a", 100L, "second"), ("a", 200L, "second")),
+        s"parts=$parts")
+    }
+  }
+
   test("counterIncrease: growth, plateau, reset-to-lower credits the new value, first null") {
     val df = Seq(
       ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 9L),  // +0, +4

@@ -40,6 +40,15 @@ class SweepSpec extends SparkSpec {
       40L -> 0L, 80L -> 1L, 100L -> 0L))
   }
 
+  test("activeIntervals: backtick-needing bound column names are handled") {
+    // regression pin for the expr-injection class (same fix as Series.grid):
+    // bound columns enter via the Column API only, so names with spaces or
+    // dashes work — previously the interpolated `div` expr failed to parse
+    val odd = spans.withColumnRenamed("s", "start ts").withColumnRenamed("e", "end-ts")
+    val got = densityMap(Sweep.activeIntervals(odd, "start ts", "end-ts", 10L, 4))
+    assert(got === densityMap(Sweep.activeIntervals(spans, "s", "e", 10L, 4)))
+  }
+
   test("activeIntervals: malformed and null-bounded spans are dropped") {
     val dirty = spans.union(Seq((50L, 40L)).toDF("s", "e"))
       .union(Seq((Option.empty[Long], Option(60L)),
