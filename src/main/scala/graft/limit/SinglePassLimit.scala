@@ -235,20 +235,32 @@ object SinglePassLimit {
     *   - ONE shuffle keyed (sink, bucket, salt) is written by the first job
     *     and served to both (Spark skips the map stage of the second job —
     *     the cross-job analog of ReuseExchange, see Bridge.internalRdd);
-    *   - job 1 folds each shuffle partition into its (sink, bucket) byte
-    *     sums — each group lives in exactly one partition (it is the shuffle
-    *     key), so the driver receives O(cells) partials, never rows;
+    *   - the (sink, bucket) byte sums are accumulated on the MAP SIDE, in
+    *     the same pass that feeds the exchange (guide §2.3 "aggregate
+    *     before you shuffle", as a task-completion accumulator): job 1 only
+    *     forces the shuffle WRITE and consumes zero shuffle rows. The
+    *     round-6 form computed the sums in job 1's reduce — a full
+    *     decompress+scan of the staged shuffle (~10 % of e2e wall at BOTH
+    *     scaling levels, measured: 12.7 s of 117.9 at 2 cores, 3.4 s of
+    *     34.0 at 8 — paid once per run for numbers the map side already
+    *     had in its hands);
     *   - the rule chain runs driver-side as usual;
     *   - job 2 re-reads the shuffle, drops discarded buckets and rewrites
     *     fallback buckets' sink in-flight (a closure-captured O(cells) map —
     *     the broadcast decision join reduced to its essence), and hands the
     *     surviving rows to the caller's write.
     *
-    * Net data movement: one scan+parse+route, one shuffle write, two shuffle
-    * reads, one sink write — vs the two-pass formulation's two full
+    * Net data movement: one scan+parse+route, one shuffle write, ONE shuffle
+    * read, one sink write — vs the two-pass formulation's two full
     * scan+parse+route passes. RDD-level code is justified here because the
     * SQL layer cannot express cross-job exchange reuse (separate actions
     * re-plan the subtree; only same-query subtrees dedupe).
+    *
+    * Exactly-once sums under retries/speculation: the accumulator is keyed
+    * by MAP PARTITION ID and merged by slot REPLACEMENT, not addition — a
+    * re-run or speculative duplicate of a partition overwrites its own slot
+    * with identical (deterministic-input) content, so no double counting;
+    * Spark additionally drops accumulator updates from failed task attempts.
     *
     * Returns the surviving rows; the caller's write is the second job.
     *
@@ -267,57 +279,119 @@ object SinglePassLimit {
 
     val spark = routed.sparkSession
     assertWholeHourTz(spark)
-    val stagedDf = routed
+    val projected = routed
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("tool"), col("ts"), col("sink"))
-      .repartition(col("sink"), bucketKey(col("ts")),
-        pmod(hash(col("conv_id"), col("turn_idx")), lit(saltBuckets)))
-    val schema = stagedDf.schema
+    val schema = projected.schema
     val iTs = schema.fieldIndex("ts")
     val iText = schema.fieldIndex("text")
     val iSink = schema.fieldIndex("sink")
     val micros = 3600L * 1000 * 1000 // TimestampType is micros; bucket = hour
 
-    val internal = Bridge.internalRdd(stagedDf)
-
-    // job 1: per-partition (sink, bucket) byte sums; O(cells) rows collected.
-    // The cell cap is enforced INSIDE the task, not only after the collect:
-    // a misconfigured bucket granularity (e.g. per-second buckets over a
-    // year) must fail in the executor while its map is still small, not OOM
-    // the driver in the collect of millions of partials.
-    val partials = internal.mapPartitions { it =>
-      val sums = new java.util.HashMap[(UTF8String, Long), Array[Long]]()
-      it.foreach { row =>
+    // map-side verdict sums: observed while the rows stream TOWARD the
+    // exchange. The cell cap is enforced INSIDE the task (a misconfigured
+    // bucket granularity must fail in the executor while its map is still
+    // small, not OOM the driver); pre-shuffle partitions are unclustered, so
+    // each task's map is bounded by the TOTAL distinct-cell count — the same
+    // control-plane bound the cap guards.
+    val acc = new CellSumsAccumulator
+    spark.sparkContext.register(acc, "graft_limit_cell_sums")
+    val maxCells = maxVerdictCells
+    val preRdd = Bridge.internalRdd(projected).mapPartitionsWithIndex { (pid, it) =>
+      // per-row cost discipline (this closure runs 10^12 times at the design
+      // point, riding the hot map stage): sinks are interned to small ids
+      // once (few distinct values), buckets key a per-sink Long map (one
+      // young-gen box on the miss path only), and a one-entry memo catches
+      // consecutive same-(sink, bucket) rows — the common case, since the
+      // pre-shuffle stream is in (conv, turn) order and hour buckets change
+      // far slower than rows — with a single byte-compare
+      val sinkIds = new java.util.HashMap[UTF8String, Integer]()
+      var sinkKeys = new Array[UTF8String](8) // sid → interned (copied) sink
+      var perSink = new Array[java.util.HashMap[java.lang.Long, Array[Long]]](8)
+      var nCells = 0
+      var prevSink: UTF8String = null // interned ref, never the row buffer
+      var prevBucket = Long.MinValue
+      var prevSlot: Array[Long] = null
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (!sinkIds.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          acc.add(pid -> sinkIds.entrySet().iterator().asScala.flatMap { se =>
+            val name = se.getKey.toString
+            perSink(se.getValue).entrySet().iterator().asScala
+              .map(be => (name, be.getKey.longValue()) -> be.getValue()(0))
+          }.toMap)
+        }
+      }
+      it.map { row =>
         if (row.isNullAt(iTs))
           throw new IllegalArgumentException(
             "limitReusingShuffle requires non-null ts (the routed stream's " +
               "source envelope always sets it); rows needing null-bucket " +
               "semantics must use the two-pass RateLimit.apply")
-        val key = (row.getUTF8String(iSink), Math.floorDiv(row.getLong(iTs), micros))
-        val slot = sums.get(key)
-        if (slot != null) slot(0) += row.getUTF8String(iText).numBytes
-        else {
-          if (sums.size() >= maxVerdictCells)
-            throw new IllegalStateException(
-              s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) " +
-                "cells in one partition — bucket granularity is too fine for " +
-                "driver-side verdicts")
-          // first sighting: copy the key out of the reused row buffer
-          sums.put((key._1.copy(), key._2),
-            Array(row.getUTF8String(iText).numBytes.toLong))
+        val bucket = Math.floorDiv(row.getLong(iTs), micros)
+        val sinkU = row.getUTF8String(iSink)
+        val n = row.getUTF8String(iText).numBytes
+        if (prevSlot != null && bucket == prevBucket && sinkU.equals(prevSink)) {
+          prevSlot(0) += n
+        } else {
+          var sid = sinkIds.get(sinkU)
+          if (sid == null) {
+            sid = Integer.valueOf(sinkIds.size)
+            val interned = sinkU.copy() // copy out of the reused row buffer
+            sinkIds.put(interned, sid)
+            if (sid >= perSink.length) {
+              perSink = java.util.Arrays.copyOf(perSink, perSink.length * 2)
+              sinkKeys = java.util.Arrays.copyOf(sinkKeys, sinkKeys.length * 2)
+            }
+            perSink(sid) = new java.util.HashMap[java.lang.Long, Array[Long]]()
+            sinkKeys(sid) = interned
+          }
+          val buckets = perSink(sid)
+          val boxed = java.lang.Long.valueOf(bucket)
+          var slot = buckets.get(boxed)
+          if (slot == null) {
+            if (nCells >= maxCells)
+              throw new IllegalStateException(
+                s"rate-limit verdict aggregate exceeds $maxCells (sink × bucket) " +
+                  "cells in one partition — bucket granularity is too fine for " +
+                  "driver-side verdicts")
+            slot = Array(0L)
+            buckets.put(boxed, slot)
+            nCells += 1
+          }
+          slot(0) += n
+          prevSink = sinkKeys(sid)
+          prevBucket = bucket
+          prevSlot = slot
         }
+        row
       }
-      import scala.jdk.CollectionConverters._
-      sums.entrySet().iterator().asScala
-        .map(e => (e.getKey._1.toString, e.getKey._2, e.getValue()(0)))
-    }.collect()
-    require(partials.length <= maxVerdictCells,
+    }
+    val stagedDf = Bridge.internalCreateDataFrame(spark, preRdd, schema)
+      .repartition(col("sink"), bucketKey(col("ts")),
+        pmod(hash(col("conv_id"), col("turn_idx")), lit(saltBuckets)))
+
+    val internal = Bridge.internalRdd(stagedDf)
+
+    // job 1: force the shuffle WRITE (and thereby the map-side sums) without
+    // consuming a single shuffle row — the result stage's iterator is never
+    // touched, so nothing is fetched/decompressed (shuffle-read cost ≈ 0)
+    internal.mapPartitions(_ => Iterator.empty[Int]).count()
+    val merged = new java.util.HashMap[(String, Long), Long]()
+    acc.value.values.foreach(_.foreach { case (k, v) =>
+      merged.merge(k, v, (a, b) => a + b)
+    })
+    require(merged.size <= maxVerdictCells,
       s"rate-limit verdict aggregate exceeds $maxVerdictCells (sink × bucket) cells — " +
         "bucket granularity is too fine for driver-side verdicts")
-    val cells = partials
-      .groupBy(p => (p._1, p._2)).map { case ((s, b), ps) =>
-        RateLimit.Cell(s, b, s, s, ps.map(_._3).sum)
-      }.toArray
+    val cells = {
+      import scala.jdk.CollectionConverters._
+      merged.entrySet().iterator().asScala
+        .map(e => RateLimit.Cell(e.getKey._1, e.getKey._2, e.getKey._1,
+          e.getKey._1, e.getValue))
+        .toArray
+    }
 
     RateLimit.runChain(cells, rules)
     val changed = cells.filter(c => c.curSink == null || c.curSink != c.origSink)
@@ -356,6 +430,35 @@ object SinglePassLimit {
       }
     }
     Bridge.internalCreateDataFrame(spark, mapped, schema)
+  }
+
+  /** Verdict-sum accumulator for [[limitReusingShuffle]]: value is
+    * mapPartitionId → ((sink, bucket) → bytes). Merge REPLACES per-partition
+    * slots instead of adding, which is what makes the sums exactly-once
+    * under task retries and speculative duplicates (both re-produce the same
+    * deterministic slot content); Spark already drops updates from failed
+    * attempts. Driver-side consumers sum across partition slots. */
+  private[limit] final class CellSumsAccumulator
+    extends org.apache.spark.util.AccumulatorV2[
+      (Int, Map[(String, Long), Long]), Map[Int, Map[(String, Long), Long]]] {
+    private val slots = new java.util.concurrent.ConcurrentHashMap[
+      Int, Map[(String, Long), Long]]()
+    override def isZero: Boolean = slots.isEmpty
+    override def copy(): CellSumsAccumulator = {
+      val c = new CellSumsAccumulator
+      c.slots.putAll(slots)
+      c
+    }
+    override def reset(): Unit = slots.clear()
+    override def add(v: (Int, Map[(String, Long), Long])): Unit =
+      slots.put(v._1, v._2)
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, Map[(String, Long), Long]), Map[Int, Map[(String, Long), Long]]]): Unit =
+      other.value.foreach { case (pid, m) => slots.put(pid, m) }
+    override def value: Map[Int, Map[(String, Long), Long]] = {
+      import scala.jdk.CollectionConverters._
+      slots.asScala.toMap
+    }
   }
 
   /** Move every visible file of `src` into `dst` (created if absent), with a
