@@ -60,6 +60,12 @@ object PageRank {
       dampPct: Int = 85, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct out of range: $dampPct")
+    // (measured dead end, round 7: deriving the iteration partition count
+    // from the edge count — clamp(edges/64k, 1, session) on a conf-scoped
+    // clone — regressed ~15 % at sf0.1: the invariant materializations are
+    // compute-bound and want the session's full width; per-task overhead on
+    // near-empty iteration partitions was NOT the binding cost. Session
+    // parallelism kept; see BENCH.md dead-ends.)
     val e0 = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct())
