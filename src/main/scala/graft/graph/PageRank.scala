@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *  - the edges⋈out-degree join is LOOP-INVARIANT, so it is computed once
   *    up front ((src, dst, outdeg) rows) instead of once per iteration —
   *    the round-6 plan re-ran that SMJ every iteration (15 SMJs / 10
-  *    exchanges; now 10 / 6 at iters=5);
+  *    exchanges; now 10 / 5 at iters=5, pinned by PlanPinSpec and
+  *    plans/r07/q_pagerank_after.txt);
   *  - the invariant inputs are repartitioned by their join key and sorted
   *    BEFORE the localCheckpoint. `Dataset.localCheckpoint` captures the
   *    physical plan's outputPartitioning/outputOrdering into the LogicalRDD,

@@ -83,18 +83,21 @@ object BloomIndex {
     * surviving file NAMES are collected. The driver never holds a bloom:
     * at the 100 k-file design point the driver form would collect ~120 GB
     * of filter payloads (guide §5: the driver should do almost no data
-    * work); this form collects kilobytes of paths. Same kept set as
-    * [[selectFiles]] by construction (BloomIndexSpec pins the parity law). */
+    * work); this form collects kilobytes of paths plus one boolean per file
+    * — which is also why the verdict is PROJECTED rather than filtered: one
+    * job yields both the kept set and the total file count (a filter +
+    * separate `manifest.count()` would scan the manifest twice per lookup).
+    * Same kept set as [[selectFiles]] by construction (BloomIndexSpec pins
+    * the parity law). */
   def selectFilesDistributed(spark: SparkSession, dir: String, column: String,
       keys: Seq[Any]): (Seq[String], Long) = {
     require(keys.nonEmpty, "give at least one lookup key")
-    val manifest = spark.read.parquet(indexPath(dir, column))
-    val kept = manifest
-      .filter(graft.functions.BloomProbeFunctions
-        .bloom_might_contain_any(col("bloom"), keys))
-      .select(col("file"))
-      .collect().map(_.getString(0)).toSeq
-    (kept, manifest.count())
+    val rows = spark.read.parquet(indexPath(dir, column))
+      .select(col("file"), graft.functions.BloomProbeFunctions
+        .bloom_might_contain_any(col("bloom"), keys).as("hit"))
+      .collect()
+    (rows.filter(r => !r.isNullAt(1) && r.getBoolean(1)) // null verdict drops,
+      .map(_.getString(0)).toSeq, rows.length.toLong)    // as a filter would
   }
 
   /** Equality-lookup read that opens only bloom-positive files. The residual

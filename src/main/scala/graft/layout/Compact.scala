@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import graft.util.Fs
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 
 /** Small-file compaction — the lakehouse OPTIMIZE analog over plain parquet
   * dirs, closing the layout family: [[ZOrder]] writes a clustered layout,
@@ -102,10 +102,15 @@ object Compact {
     // original expectedItemsPerFile is not recorded in the index, so the
     // rebuild sizes each filter to the compacted layout's actual
     // rows-per-file (ceil(total/nOut files)) — what writeIndex's contract
-    // asks for ("size to the layout's target rows-per-file").
+    // asks for ("size to the layout's target rows-per-file"). The row total
+    // comes from the STALE index's own n_rows column (one manifest row per
+    // pre-compaction file; compaction is content-preserving, so they sum to
+    // the new total) — never a count() scan of the table just rewritten.
     val bloomCols = bloomColsOf(dir)
     if (bloomCols.nonEmpty) {
-      val rows = spark.read.parquet(dir).count()
+      val rows = spark.read.parquet(BloomIndex.indexPath(dir, bloomCols.head))
+        .agg(coalesce(sum(col("n_rows")), lit(0L)))
+        .collect()(0).getLong(0)
       val perFile = math.max(1L, rows / math.max(1, dataFiles(dir).size) + 1)
       bloomCols.foreach(c =>
         BloomIndex.writeIndex(spark, dir, c, expectedItemsPerFile = perFile))
@@ -141,9 +146,13 @@ object Compact {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
+      // retry ONLY the swap window's signature (path momentarily absent) —
+      // a typo'd dir or a genuinely unreadable table must not spin through
+      // attempts×backoff before surfacing its real error
       try return spark.read.parquet(dir)
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" && i < attempts - 1 =>
           last = e
           Thread.sleep(backoffMs)
       }

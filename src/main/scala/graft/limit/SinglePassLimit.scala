@@ -292,8 +292,13 @@ object SinglePassLimit {
     // exchange. The cell cap is enforced INSIDE the task (a misconfigured
     // bucket granularity must fail in the executor while its map is still
     // small, not OOM the driver); pre-shuffle partitions are unclustered, so
-    // each task's map is bounded by the TOTAL distinct-cell count — the same
-    // control-plane bound the cap guards.
+    // EACH task's map is bounded by the TOTAL distinct-cell count — unlike
+    // the round-6 post-shuffle form, where a cell lived in exactly one
+    // partition, worst-case executor memory here is cells × concurrent
+    // tasks. That is the price of skipping the shuffle read, and it is why
+    // the cap must stay control-plane-sized (sinks × coarse buckets, ≤ a
+    // few thousand cells ≈ tens of KB per task at the default), far below
+    // the 4M-cell hard stop.
     val acc = new CellSumsAccumulator
     spark.sparkContext.register(acc, "graft_limit_cell_sums")
     val maxCells = maxVerdictCells
@@ -354,8 +359,8 @@ object SinglePassLimit {
             if (nCells >= maxCells)
               throw new IllegalStateException(
                 s"rate-limit verdict aggregate exceeds $maxCells (sink × bucket) " +
-                  "cells in one partition — bucket granularity is too fine for " +
-                  "driver-side verdicts")
+                  "cells in one map task (pre-shuffle, so a task can see every " +
+                  "cell) — bucket granularity is too fine for driver-side verdicts")
             slot = Array(0L)
             buckets.put(boxed, slot)
             nCells += 1

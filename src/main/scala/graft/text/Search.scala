@@ -49,9 +49,20 @@ object Search {
   /** The inverted index as rows: (term, doc_id, tf, df) for every term with
     * `minDf <= df` and `df·100 <= maxDfPercent·N` (integer-exact ratio — the
     * stopword cutoff; terms in ~every document carry no signal and dominate
-    * index size). */
+    * index size).
+    *
+    * @param broadcastVocab how df is attached to the tf rows. `true`
+    *        (default): force-broadcast the post-cutoff vocabulary — right
+    *        whenever it fits an executor (the term dictionary every search
+    *        engine holds per node), and a hard hint so the planner's missing
+    *        statistics on the aggregate subtree can't demote it. `false`:
+    *        plain shuffle join, for the corpus whose surviving vocabulary
+    *        (minDf=2 keeps the doubleton long tail) outgrows broadcast — the
+    *        tf side re-shuffles by term, but joins (unlike the round-6
+    *        window) are AQE-skew-splittable, so a hot term costs extra
+    *        partitions, not one straggler task. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-      minDf: Long, maxDfPercent: Int): DataFrame = {
+      minDf: Long, maxDfPercent: Int, broadcastVocab: Boolean = true): DataFrame = {
     require(minDf >= 1, s"minDf out of range: $minDf")
     require(maxDfPercent >= 1 && maxDfPercent <= 100,
       s"maxDfPercent out of range: $maxDfPercent")
@@ -61,13 +72,14 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     // df per term: map-side-combinable aggregate (no by-term window — see
     // header), cutoffs applied while the set is one row per term, THEN
-    // broadcast onto the tf rows (which stay (term, doc)-hash-distributed;
-    // dropped terms' tf rows are filtered in place by the inner join)
+    // joined back onto the tf rows (which stay (term, doc)-hash-distributed
+    // under the broadcast form; dropped terms' tf rows are filtered in place
+    // by the inner join)
     val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") >= minDf && col("df") * 100 <= col("n") * maxDfPercent)
       .select(col("term"), col("df"))
-    tf.join(broadcast(vocab), "term")
+    tf.join(if (broadcastVocab) broadcast(vocab) else vocab, "term")
       .select(col("term"), col("doc_id"), col("tf"), col("df"))
   }
 

@@ -33,9 +33,11 @@ object E2eProbe {
     val tmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.util.Env.scratchDir), "e2eprobe").toString
     graft.E2eRunner.e2e(spark, sfDir, s"$tmp/warm", math.min(8, multS.toInt), "v3", 32)
-    stages.clear()
+    Thread.sleep(2000) // listener bus is async: let warm-up events drain
+    stages.clear()     // before the clear, so none pollute the timed report
     val (sec, rows) = graft.E2eRunner.e2e(spark, sfDir, s"$tmp/out", multS.toInt, "v3", 32)
     println(f"E2EPROBE cpus=$cpus total=$sec%.2f s rows=$rows")
+    Thread.sleep(2000) // and let the timed run's last stages land before printing
     stages.forEach(println)
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
     spark.stop()
